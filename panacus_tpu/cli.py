@@ -1,0 +1,344 @@
+"""Command-line interface mirroring the reference's subcommand surface
+(reference: src/lib.rs:77-222, src/commands/*.rs):
+
+  report, render, hist, growth, info, ordered-histgrowth, table,
+  node-distribution, similarity
+
+plus global -t/--threads and -v/--verbose.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+from .config import AnalysisParameter, AnalysisRun, Grouping
+from .utils import CountType
+
+log = logging.getLogger("panacus")
+
+COUNT_CHOICES = ["node", "bp", "edge", "all"]
+COUNT_CHOICES_NO_ALL = ["node", "bp", "edge"]
+CLUSTER_CHOICES = [
+    "single",
+    "complete",
+    "average",
+    "weighted",
+    "ward",
+    "centroid",
+    "median",
+]
+
+
+def _add_common_graph_args(p: argparse.ArgumentParser, gfa_meta="GFA_FILE"):
+    p.add_argument("gfa_file", metavar=gfa_meta)
+    p.add_argument("-s", "--subset", metavar="FILE", default="")
+    p.add_argument("-e", "--exclude", metavar="FILE", default="")
+    p.add_argument("-g", "--groupby", metavar="FILE", default="")
+    p.add_argument("-H", "--groupby-haplotype", action="store_true")
+    p.add_argument("-S", "--groupby-sample", action="store_true")
+
+
+def _add_threshold_args(p: argparse.ArgumentParser):
+    p.add_argument("-l", "--coverage", default="1")
+    p.add_argument("-q", "--quorum", default="0")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="panacus")
+    ap.add_argument("-t", "--threads", type=int, default=0)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="Render an html report from JSON result files")
+    p.add_argument("json_files", nargs="+")
+
+    p = sub.add_parser("report", help="Create an html report from a YAML config file")
+    p.add_argument("yaml_file", nargs="?")
+    p.add_argument("-d", "--dry-run", action="store_true")
+    p.add_argument("-j", "--json", action="store_true")
+
+    p = sub.add_parser("hist", help="Calculate coverage histogram")
+    _add_common_graph_args(p)
+    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES)
+
+    p = sub.add_parser("growth", help="Calculate growth curve from coverage histogram")
+    _add_common_graph_args(p, gfa_meta="FILE")
+    p.add_argument("-a", "--hist", action="store_true")
+    _add_threshold_args(p)
+
+    p = sub.add_parser(
+        "histgrowth", help="Run hist and growth. Return the growth curve"
+    )
+    _add_common_graph_args(p)
+    p.add_argument("-a", "--hist", action="store_true")
+    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES)
+    _add_threshold_args(p)
+
+    p = sub.add_parser("info", help="Return general graph and paths info")
+    _add_common_graph_args(p)
+
+    p = sub.add_parser(
+        "ordered-histgrowth",
+        help="Calculate growth curve based on group file order",
+    )
+    _add_common_graph_args(p)
+    p.add_argument("-O", "--order", metavar="FILE")
+    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES_NO_ALL)
+    _add_threshold_args(p)
+
+    p = sub.add_parser("table", help="Compute coverage table for count type")
+    _add_common_graph_args(p)
+    p.add_argument("-a", "--total", action="store_true")
+    p.add_argument("-O", "--order", metavar="FILE")
+    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES_NO_ALL)
+
+    p = sub.add_parser(
+        "node-distribution", help="Return hexbin node distribution list"
+    )
+    p.add_argument("gfa_file")
+    p.add_argument("-r", "--radius", type=int, default=20)
+
+    p = sub.add_parser("similarity", help="Compute similarity table for count type")
+    _add_common_graph_args(p)
+    p.add_argument("-a", "--total", action="store_true")
+    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES_NO_ALL)
+    p.add_argument(
+        "-m", "--method", default="centroid", choices=CLUSTER_CHOICES
+    )
+
+    return ap
+
+
+def _grouping_from_args(args) -> Optional[Grouping]:
+    if getattr(args, "groupby_sample", False):
+        return Grouping.sample()
+    if getattr(args, "groupby_haplotype", False):
+        return Grouping.haplotype()
+    if getattr(args, "groupby", ""):
+        return Grouping.custom(args.groupby)
+    return None
+
+
+def _run_from_args(args, analyses: List[AnalysisParameter]) -> AnalysisRun:
+    return AnalysisRun(
+        graph=args.gfa_file,
+        name=None,
+        subset=getattr(args, "subset", "") or "",
+        exclude=getattr(args, "exclude", "") or "",
+        grouping=_grouping_from_args(args),
+        nice=False,
+        analyses=analyses,
+    )
+
+
+def get_instructions(args) -> List[AnalysisRun]:
+    cmd = args.command
+    if cmd == "hist":
+        return [
+            _run_from_args(
+                args,
+                [
+                    AnalysisParameter(
+                        kind="hist", count_type=CountType.parse(args.count)
+                    )
+                ],
+            )
+        ]
+    if cmd == "growth":
+        return [
+            _run_from_args(
+                args,
+                [
+                    AnalysisParameter(
+                        kind="growth",
+                        coverage=args.coverage,
+                        quorum=args.quorum,
+                        add_hist=args.hist,
+                    )
+                ],
+            )
+        ]
+    if cmd == "histgrowth":
+        return [
+            _run_from_args(
+                args,
+                [
+                    AnalysisParameter(
+                        kind="hist", count_type=CountType.parse(args.count)
+                    ),
+                    AnalysisParameter(
+                        kind="growth",
+                        coverage=args.coverage,
+                        quorum=args.quorum,
+                        add_hist=args.hist,
+                    ),
+                ],
+            )
+        ]
+    if cmd == "info":
+        return [_run_from_args(args, [AnalysisParameter(kind="info")])]
+    if cmd == "ordered-histgrowth":
+        return [
+            _run_from_args(
+                args,
+                [
+                    AnalysisParameter(
+                        kind="ordered_growth",
+                        coverage=args.coverage,
+                        quorum=args.quorum,
+                        count_type=CountType.parse(args.count),
+                        order=args.order,
+                    )
+                ],
+            )
+        ]
+    if cmd == "table":
+        return [
+            _run_from_args(
+                args,
+                [
+                    AnalysisParameter(
+                        kind="table",
+                        count_type=CountType.parse(args.count),
+                        total=args.total,
+                        order=args.order,
+                    )
+                ],
+            )
+        ]
+    if cmd == "node-distribution":
+        return [
+            AnalysisRun(
+                graph=args.gfa_file,
+                name=None,
+                subset="",
+                exclude="",
+                grouping=None,
+                nice=False,
+                analyses=[
+                    AnalysisParameter(
+                        kind="node_distribution", radius=args.radius
+                    )
+                ],
+            )
+        ]
+    if cmd == "similarity":
+        return [
+            _run_from_args(
+                args,
+                [
+                    AnalysisParameter(
+                        kind="similarity",
+                        count_type=CountType.parse(args.count),
+                        cluster_method=args.method,
+                    )
+                ],
+            )
+        ]
+    return []
+
+
+EXAMPLE_YAML = """
+# Missing YAML file!
+#
+# Example YAML:
+# To get started copy this into a .yaml file and edit it
+
+- graph: ../graphs/test_graph.gfa
+  grouping: Haplotype
+  analyses:
+    - !Hist
+      count_type: Bp
+    - !Growth
+      coverage: 1,1,2
+      quorum: 0,0.9,0
+
+# For more information see the panacus wiki
+"""
+
+
+def run_cli(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
+        stream=sys.stderr,
+    )
+    out = sys.stdout
+
+    from .pipeline import convert_to_tasks, execute_pipeline
+
+    if args.command == "render":
+        import json as json_mod
+
+        from .report.html import generate_report
+        from .report.sections import AnalysisSection
+
+        full_report = []
+        for fp in args.json_files:
+            with open(fp) as f:
+                full_report.extend(
+                    AnalysisSection.from_json_dict(d) for d in json_mod.load(f)
+                )
+        out.write(generate_report(full_report, args.json_files[0]))
+        out.write("\n")
+        return 0
+
+    # growth on a hist TSV: the no-graph fast path (reference: lib.rs:144-174)
+    if args.command == "growth" and args.gfa_file.endswith("tsv"):
+        if (
+            args.subset
+            or args.exclude
+            or args.groupby
+            or args.groupby_sample
+            or args.groupby_haplotype
+        ):
+            raise SystemExit(
+                "subset, exclude and groupby can only be used in graph mode "
+                "(with a .gfa or .gfa.gz file)"
+            )
+        from .analyses.growth import Growth
+
+        growth = Growth(
+            AnalysisParameter(
+                kind="growth",
+                coverage=args.coverage,
+                quorum=args.quorum,
+                add_hist=args.hist,
+            )
+        )
+        out.write(growth.generate_table_from_hist(args.gfa_file))
+        out.write("\n")
+        return 0
+
+    shall_write_html = False
+    dry_run = False
+    json = False
+    if args.command == "report":
+        shall_write_html = True
+        dry_run = args.dry_run
+        json = args.json
+        if args.yaml_file is None:
+            print(EXAMPLE_YAML)
+            return 0
+        from .config import load_config_file
+
+        instructions = load_config_file(args.yaml_file)
+    else:
+        instructions = get_instructions(args)
+
+    tasks = convert_to_tasks(instructions)
+    log.info("%s", tasks)
+    if dry_run:
+        print(tasks)
+        return 0
+    execute_pipeline(tasks, out, shall_write_html, json)
+    out.flush()
+    return 0
+
+
+def main() -> None:
+    sys.exit(run_cli())

@@ -1,0 +1,563 @@
+"""Host-side GFA1 front-end: single-pass, columnar, numpy-vectorized.
+
+Replaces the reference's byte-scanning multi-pass parser
+(reference: src/graph_broker/graph.rs:168-467, src/graph_broker/util.rs:368-1248)
+with one mmap/decompress pass that indexes every line, then lazily
+materialises per-path item runs as dense integer arrays ready for device
+upload. String work stays on the host; everything downstream is arrays.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("panacus")
+
+# PanSN path name handling (reference: src/graph_broker/graph.rs:16-18)
+PATHID_PANSN = re.compile(r"^([^#]+)(#[^#]+)?(#[^#].*)?$")
+PATHID_COORDS = re.compile(r"^(.+):([0-9]+)-([0-9]+)$")
+
+FORWARD = 0
+BACKWARD = 1
+
+
+@dataclass(frozen=True)
+class PathSegment:
+    """PanSN-spec path identifier sample[#haplotype[#seqid]][:start-end]
+    (reference: src/graph_broker/graph.rs:469-627)."""
+
+    sample: str
+    haplotype: Optional[str] = None
+    seqid: Optional[str] = None
+    start: Optional[int] = None
+    end: Optional[int] = None
+
+    @classmethod
+    def from_str(cls, s: str) -> "PathSegment":
+        sample, haplotype, seqid, start, end = s, None, None, None, None
+        m = PATHID_PANSN.match(s)
+        if m:
+            segs = [g for g in m.groups() if g is not None]
+            if len(segs) == 3:
+                sample = segs[0]
+                haplotype = segs[1][1:]
+                mc = PATHID_COORDS.match(segs[2][1:])
+                if mc is None:
+                    seqid = segs[2][1:]
+                else:
+                    seqid = mc.group(1)
+                    start = int(mc.group(2))
+                    end = int(mc.group(3))
+            elif len(segs) == 2:
+                sample = segs[0]
+                mc = PATHID_COORDS.match(segs[1][1:])
+                if mc is None:
+                    haplotype = segs[1][1:]
+                else:
+                    haplotype = mc.group(1)
+                    start = int(mc.group(2))
+                    end = int(mc.group(3))
+            elif len(segs) == 1:
+                mc = PATHID_COORDS.match(segs[0])
+                if mc is not None:
+                    sample = mc.group(1)
+                    start = int(mc.group(2))
+                    end = int(mc.group(3))
+        return cls(sample, haplotype, seqid, start, end)
+
+    @classmethod
+    def new(cls, sample, haplotype, seqid, start, end) -> "PathSegment":
+        return cls(sample, haplotype, seqid, start, end)
+
+    def id(self) -> str:
+        if self.haplotype is not None:
+            if self.seqid is not None:
+                return f"{self.sample}#{self.haplotype}#{self.seqid}"
+            return f"{self.sample}#{self.haplotype}"
+        if self.seqid is not None:
+            return f"{self.sample}#*#{self.seqid}"
+        return self.sample
+
+    def clear_coords(self) -> "PathSegment":
+        return PathSegment(self.sample, self.haplotype, self.seqid, None, None)
+
+    def coords(self) -> Optional[Tuple[int, int]]:
+        if self.start is not None and self.end is not None:
+            return (self.start, self.end)
+        return None
+
+    def __str__(self) -> str:
+        c = self.coords()
+        if c is not None:
+            return f"{self.id()}:{c[0]}-{c[1]}"
+        return self.id()
+
+
+def _read_all(gfa_file: str) -> bytes:
+    log.info("loading graph from %s", gfa_file)
+    if gfa_file.endswith(".gz"):
+        log.info("assuming that %s is gzip compressed..", gfa_file)
+        with gzip.open(gfa_file, "rb") as f:
+            return f.read()
+    with open(gfa_file, "rb") as f:
+        return f.read()
+
+
+def _parse_ints_from_spans(
+    buf: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> Optional[np.ndarray]:
+    """Vectorized decimal parse of byte spans [start, end). Returns None if any
+    span contains a non-digit or is empty."""
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = ends - starts
+    if (lens <= 0).any():
+        return None
+    max_len = int(lens.max())
+    if max_len > 18:
+        return None
+    vals = np.zeros(n, dtype=np.int64)
+    p10 = np.int64(1)
+    for k in range(max_len):
+        active = lens > k
+        pos = ends[active] - 1 - k
+        d = buf[pos].astype(np.int64) - 48
+        if len(d) and ((d < 0) | (d > 9)).any():
+            return None
+        vals[active] += d * p10
+        p10 *= 10
+    return vals
+
+
+class ItemTable:
+    """CSR of path -> item ids (reference: src/util.rs:80-93).
+
+    items holds int64 ids concatenated across paths; prefsum[p]..prefsum[p+1]
+    delimits path p. Built incrementally with python lists of arrays, then
+    finalized to contiguous numpy.
+    """
+
+    def __init__(self, num_paths: int):
+        self._chunks: List[np.ndarray] = []
+        self.prefsum = np.zeros(num_paths + 1, dtype=np.int64)
+        self._count = 0
+
+    def append(self, path_idx: int, ids: np.ndarray) -> None:
+        self._chunks.append(np.asarray(ids, dtype=np.int64))
+        self._count += len(ids)
+        self.prefsum[path_idx + 1] = self._count
+
+    def close_path(self, path_idx: int) -> None:
+        self.prefsum[path_idx + 1] = self._count
+
+    def finalize(self) -> None:
+        self.items = (
+            np.concatenate(self._chunks)
+            if self._chunks
+            else np.zeros(0, dtype=np.int64)
+        )
+        self._chunks = None
+
+    def path_slice(self, path_idx: int) -> np.ndarray:
+        return self.items[self.prefsum[path_idx] : self.prefsum[path_idx + 1]]
+
+
+class GraphStorage:
+    """Indexed view of one GFA file.
+
+    One file read; line classification and segment indexing are vectorized.
+    Holds: node id table (dense 1..n in S-line order, id 0 reserved as
+    sentinel like reference graph.rs:324), node lengths, path metadata and raw
+    payload spans for lazy itemization, canonical edge table if requested.
+    """
+
+    def __init__(self, gfa_file: str, index_edges: bool, nice: bool = False):
+        self.gfa_file = gfa_file
+        self.is_nice = nice
+        data = _read_all(gfa_file)
+        if data and not data.endswith(b"\n"):
+            data += b"\n"
+        self._data = data
+        buf = np.frombuffer(data, dtype=np.uint8)
+        self._buf = buf
+
+        nl = np.flatnonzero(buf == 10)
+        starts = np.empty(len(nl), dtype=np.int64)
+        if len(nl):
+            starts[0] = 0
+            starts[1:] = nl[:-1] + 1
+        ends = nl  # position of '\n'
+        # strip trailing '\r'
+        ends_stripped = ends - (buf[np.maximum(ends - 1, 0)] == 13)
+        nonempty = ends_stripped > starts
+        starts, ends = starts[nonempty], ends_stripped[nonempty]
+        first = buf[starts]
+        self._line_starts = starts
+        self._line_ends = ends
+
+        tabs = np.flatnonzero(buf == 9)
+        self._tabs = tabs
+
+        is_s = first == ord("S")
+        is_p = first == ord("P")
+        is_w = first == ord("W")
+        is_l = first == ord("L")
+
+        log.info(
+            "constructing indexes for node/edge IDs, node lengths, and P/W lines.."
+        )
+        self._index_nodes(starts[is_s], ends[is_s])
+
+        # paths/walks in file order
+        pw_mask = is_p | is_w
+        self._pw_starts = starts[pw_mask]
+        self._pw_ends = ends[pw_mask]
+        self._pw_is_walk = first[pw_mask] == ord("W")
+        self.path_segments: List[PathSegment] = []
+        self._pw_seq_spans: List[Tuple[int, int]] = []
+        self._index_paths()
+
+        log.info(
+            "found: %d paths/walks, %d nodes",
+            len(self.path_segments),
+            self.node_count,
+        )
+        if not self.path_segments:
+            log.warning("graph does not contain any annotated paths (P/W lines)")
+
+        self.edge_count = 0
+        self._edge_keys_sorted: Optional[np.ndarray] = None
+        self._edge_ids_sorted: Optional[np.ndarray] = None
+        self.edges_u = self.edges_o1 = self.edges_v = self.edges_o2 = None
+        self.degree: Optional[np.ndarray] = None
+        if index_edges:
+            self._index_edges(starts[is_l], ends[is_l])
+
+    # -- nodes ----------------------------------------------------------------
+
+    def _index_nodes(self, s_starts: np.ndarray, s_ends: np.ndarray) -> None:
+        tabs = self._tabs
+        n = len(s_starts)
+        # first tab of an S line is at s+1; name spans (s+2, t2)
+        t2_idx = np.searchsorted(tabs, s_starts + 2)
+        t2 = tabs[t2_idx] if n else np.zeros(0, dtype=np.int64)
+        # sequence ends at following tab (optional fields) or line end
+        t3_idx = t2_idx + 1
+        t3 = np.where(
+            (t3_idx < len(tabs)) & (np.take(tabs, np.minimum(t3_idx, len(tabs) - 1)) < s_ends),
+            np.take(tabs, np.minimum(t3_idx, len(tabs) - 1)),
+            s_ends,
+        ) if n else np.zeros(0, dtype=np.int64)
+        name_starts = s_starts + 2
+        name_ends = t2
+        seq_lens = (t3 - (t2 + 1)).astype(np.int64)
+        if (seq_lens < 0).any():
+            raise ValueError("malformed S line in GFA")
+
+        self.node_count = n
+        self.node_lens = np.zeros(n + 1, dtype=np.uint32)
+        self.node_lens[1:] = seq_lens
+
+        # fast path: integer node names; nicest case is names == 1..n
+        ints = _parse_ints_from_spans(self._buf, name_starts, name_ends)
+        self._node2id: Optional[Dict[bytes, int]] = None
+        self._int_names: Optional[np.ndarray] = None
+        self._name_spans = (name_starts, name_ends)
+        if ints is not None:
+            self._int_names = ints
+            if n and bool((ints == np.arange(1, n + 1)).all()):
+                self._int_name_mode = "identity"
+            else:
+                # integer names, arbitrary values: sorted lookup table
+                order = np.argsort(ints, kind="stable")
+                sorted_ints = ints[order]
+                if len(sorted_ints) != len(np.unique(sorted_ints)):
+                    raise ValueError("Segment occurs multiple times in GFA")
+                self._int_sorted = sorted_ints
+                self._int_sorted_ids = order.astype(np.int64) + 1
+                self._int_name_mode = "sorted"
+        else:
+            self._int_name_mode = None
+            d: Dict[bytes, int] = {}
+            data = self._data
+            for i in range(n):
+                name = data[name_starts[i] : name_ends[i]]
+                if name in d:
+                    raise ValueError(
+                        f"Segment with ID {name.decode()} occurs multiple times in GFA"
+                    )
+                d[name] = i + 1
+            self._node2id = d
+
+    def node_name(self, iid: int) -> str:
+        if self._int_name_mode == "identity":
+            return str(iid)
+        ns, ne = self._name_spans
+        return self._data[ns[iid - 1] : ne[iid - 1]].decode()
+
+    def get_node_id(self, name: bytes) -> Optional[int]:
+        if self._int_name_mode == "identity":
+            try:
+                v = int(name)
+            except ValueError:
+                return None
+            return v if 1 <= v <= self.node_count else None
+        if self._int_name_mode == "sorted":
+            try:
+                v = int(name)
+            except ValueError:
+                return None
+            i = np.searchsorted(self._int_sorted, v)
+            if i < len(self._int_sorted) and self._int_sorted[i] == v:
+                return int(self._int_sorted_ids[i])
+            return None
+        return self._node2id.get(name)
+
+    def _ids_from_int_names(self, vals: np.ndarray, what: str) -> np.ndarray:
+        if self._int_name_mode == "identity":
+            bad = (vals < 1) | (vals > self.node_count)
+            if bad.any():
+                raise ValueError(f"unknown node {vals[bad][0]} in {what}")
+            return vals
+        idx = np.searchsorted(self._int_sorted, vals)
+        idx_c = np.minimum(idx, len(self._int_sorted) - 1)
+        bad = self._int_sorted[idx_c] != vals
+        if bad.any():
+            raise ValueError(f"unknown node {vals[bad][0]} in {what}")
+        return self._int_sorted_ids[idx_c]
+
+    def node_len(self, iid: int) -> int:
+        return int(self.node_lens[iid])
+
+    def number_of_items(self, count) -> int:
+        from .utils import CountType
+
+        if count in (CountType.NODE, CountType.BP):
+            return self.node_count
+        if count == CountType.EDGE:
+            return self.edge_count
+        raise ValueError("inadmissible count type")
+
+    # -- paths ----------------------------------------------------------------
+
+    def _index_paths(self) -> None:
+        data = self._data
+        tabs = self._tabs
+        for k in range(len(self._pw_starts)):
+            s, e = int(self._pw_starts[k]), int(self._pw_ends[k])
+            ti = np.searchsorted(tabs, s)
+            if self._pw_is_walk[k]:
+                # W \t sample \t hap \t seqid \t start \t end \t walk
+                t = tabs[ti : ti + 6]
+                cols = [data[int(t[j]) + 1 : int(t[j + 1])].decode() for j in range(5)]
+                seq_start = None if cols[3] == "*" else int(cols[3])
+                seq_end = None if cols[4] == "*" else int(cols[4])
+                seg = PathSegment.new(cols[0], cols[1], cols[2], seq_start, seq_end)
+                self._pw_seq_spans.append((int(t[5]) + 1, e))
+            else:
+                # P \t name \t seq \t overlaps
+                t1 = int(tabs[ti])
+                t2 = int(tabs[ti + 1])
+                t3i = ti + 2
+                t3 = int(tabs[t3i]) if t3i < len(tabs) and tabs[t3i] < e else e
+                name = data[t1 + 1 : t2].decode()
+                seg = PathSegment.from_str(name)
+                self._pw_seq_spans.append((t2 + 1, t3))
+            self.path_segments.append(seg)
+
+    def path_item_run(self, path_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Item ids + orientations (0 fwd / 1 bwd) of one P/W line, vectorized.
+
+        Equivalent of reference parse_path_seq_to_item_vec /
+        parse_walk_seq_to_item_vec (src/graph_broker/util.rs:797-1016).
+        """
+        a, b = self._pw_seq_spans[path_idx]
+        buf = self._buf
+        if self._pw_is_walk[path_idx]:
+            seg = buf[a:b]
+            seps = np.flatnonzero((seg == 62) | (seg == 60))  # '>' '<'
+            if len(seps) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.uint8)
+            tok_starts = seps + 1 + a
+            tok_ends = np.empty(len(seps), dtype=np.int64)
+            tok_ends[:-1] = seps[1:] + a
+            tok_ends[-1] = b
+            orient = (seg[seps] == 60).astype(np.uint8)
+        else:
+            seg = buf[a:b]
+            commas = np.flatnonzero(seg == 44)
+            n_tok = len(commas) + 1
+            tok_starts = np.empty(n_tok, dtype=np.int64)
+            tok_starts[0] = a
+            tok_starts[1:] = commas + 1 + a
+            tok_full_ends = np.empty(n_tok, dtype=np.int64)
+            tok_full_ends[:-1] = commas + a
+            tok_full_ends[-1] = b
+            # last char of each token is orientation (+/-)
+            orient = (buf[tok_full_ends - 1] == 45).astype(np.uint8)
+            tok_ends = tok_full_ends - 1
+        if self._int_name_mode is not None:
+            vals = _parse_ints_from_spans(buf, tok_starts, tok_ends)
+            if vals is None:
+                raise ValueError(
+                    f"malformed node id in path {self.path_segments[path_idx]}"
+                )
+            ids = self._ids_from_int_names(
+                vals, f"path {self.path_segments[path_idx]}"
+            )
+        else:
+            d = self._node2id
+            data = self._data
+            ids = np.fromiter(
+                (
+                    d[data[int(s) : int(e)]]
+                    for s, e in zip(tok_starts, tok_ends)
+                ),
+                dtype=np.int64,
+                count=len(tok_starts),
+            )
+        return ids, orient
+
+    # -- edges ----------------------------------------------------------------
+
+    def _index_edges(self, l_starts: np.ndarray, l_ends: np.ndarray) -> None:
+        """Canonical edge table from L lines
+        (reference: src/graph_broker/graph.rs:276-306, Edge::canonical
+        graph.rs:142-148). Edge ids are assigned in first-occurrence order."""
+        buf = self._buf
+        tabs = self._tabs
+        n = len(l_starts)
+        if n == 0:
+            self.edge_count = 0
+            self.degree = np.zeros(self.node_count + 1, dtype=np.uint32)
+            self._edge_keys_sorted = np.zeros(0, dtype=np.uint64)
+            self._edge_ids_sorted = np.zeros(0, dtype=np.int64)
+            self.edges_u = np.zeros(0, np.int64)
+            self.edges_o1 = np.zeros(0, np.uint8)
+            self.edges_v = np.zeros(0, np.int64)
+            self.edges_o2 = np.zeros(0, np.uint8)
+            return
+        ti = np.searchsorted(tabs, l_starts)
+        t1 = tabs[ti]
+        t2 = tabs[ti + 1]
+        t3 = tabs[ti + 2]
+        t4 = tabs[ti + 3]
+        t5i = ti + 4
+        t5 = np.where(
+            (t5i < len(tabs)) & (np.take(tabs, np.minimum(t5i, len(tabs) - 1)) < l_ends),
+            np.take(tabs, np.minimum(t5i, len(tabs) - 1)),
+            l_ends,
+        )
+        u_names = (t1 + 1, t2)
+        v_names = (t3 + 1, t4)
+        o1 = (buf[t2 + 1] == 45).astype(np.uint8)
+        o2 = (buf[t4 + 1] == 45).astype(np.uint8)
+
+        if self._int_name_mode is not None:
+            uv = _parse_ints_from_spans(buf, u_names[0], u_names[1])
+            vv = _parse_ints_from_spans(buf, v_names[0], v_names[1])
+            if uv is None or vv is None:
+                raise ValueError("malformed L line node name")
+            u = self._ids_from_int_names(uv, "L line")
+            v = self._ids_from_int_names(vv, "L line")
+        else:
+            d = self._node2id
+            data = self._data
+            u = np.fromiter(
+                (d[data[int(s) : int(e)]] for s, e in zip(u_names[0], u_names[1])),
+                dtype=np.int64,
+                count=n,
+            )
+            v = np.fromiter(
+                (d[data[int(s) : int(e)]] for s, e in zip(v_names[0], v_names[1])),
+                dtype=np.int64,
+                count=n,
+            )
+
+        cu, co1, cv, co2 = canonical_edges(u, o1, v, o2)
+        keys = edge_keys(cu, co1, cv, co2)
+        uniq, first_idx = np.unique(keys, return_index=True)
+        n_dup = n - len(uniq)
+        if n_dup:
+            log.warning("%d duplicated edges in GFA", n_dup)
+        order = np.argsort(first_idx, kind="stable")
+        ids_sorted = np.empty(len(uniq), dtype=np.int64)
+        ids_sorted[order] = np.arange(1, len(uniq) + 1)
+        self._edge_keys_sorted = uniq
+        self._edge_ids_sorted = ids_sorted
+        self.edge_count = len(uniq)
+        # per unique edge endpoints, in id order
+        inv_order = first_idx[order]
+        self.edges_u = cu[inv_order]
+        self.edges_o1 = co1[inv_order]
+        self.edges_v = cv[inv_order]
+        self.edges_o2 = co2[inv_order]
+        degree = np.zeros(self.node_count + 1, dtype=np.uint32)
+        np.add.at(degree, self.edges_u, 1)
+        np.add.at(degree, self.edges_v, 1)
+        self.degree = degree
+        log.info("found: %d edges", self.edge_count)
+
+    def edge_ids_for_pairs(
+        self,
+        u: np.ndarray,
+        o1: np.ndarray,
+        v: np.ndarray,
+        o2: np.ndarray,
+    ) -> np.ndarray:
+        """Canonical edge id lookup for oriented node pairs (vectorized)."""
+        cu, co1, cv, co2 = canonical_edges(u, o1, v, o2)
+        keys = edge_keys(cu, co1, cv, co2)
+        idx = np.searchsorted(self._edge_keys_sorted, keys)
+        idx_c = np.minimum(idx, max(len(self._edge_keys_sorted) - 1, 0))
+        bad = (
+            (len(self._edge_keys_sorted) == 0)
+            | (self._edge_keys_sorted[idx_c] != keys)
+        )
+        if np.any(bad):
+            i = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                f"unknown edge {'<' if co1[i] else '>'}{cu[i]}"
+                f"{'<' if co2[i] else '>'}{cv[i]}"
+            )
+        return self._edge_ids_sorted[idx_c]
+
+    def edge_name(self, eid: int) -> str:
+        i = eid - 1
+        o1 = "<" if self.edges_o1[i] else ">"
+        o2 = "<" if self.edges_o2[i] else ">"
+        return (
+            f"{o1}{self.node_name(int(self.edges_u[i]))}"
+            f"{o2}{self.node_name(int(self.edges_v[i]))}"
+        )
+
+
+def canonical_edges(
+    u: np.ndarray, o1: np.ndarray, v: np.ndarray, o2: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized Edge::canonical (reference: src/graph_broker/graph.rs:142-148):
+    flip when u > v, or u == v and o1 is backward."""
+    flip = (u > v) | ((u == v) & (o1 == BACKWARD))
+    cu = np.where(flip, v, u)
+    co1 = np.where(flip, o2 ^ 1, o1).astype(np.uint8)
+    cv = np.where(flip, u, v)
+    co2 = np.where(flip, o1 ^ 1, o2).astype(np.uint8)
+    return cu, co1, cv, co2
+
+
+def edge_keys(
+    u: np.ndarray, o1: np.ndarray, v: np.ndarray, o2: np.ndarray
+) -> np.ndarray:
+    return (
+        (u.astype(np.uint64) << np.uint64(33))
+        | (v.astype(np.uint64) << np.uint64(2))
+        | (o1.astype(np.uint64) << np.uint64(1))
+        | o2.astype(np.uint64)
+    )

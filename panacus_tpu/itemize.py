@@ -1,0 +1,292 @@
+"""Path/walk itemization: GFA path runs -> per-count-type item tables.
+
+Replaces the reference's hot byte-scanning loop
+(reference: src/graph_broker/util.rs:22-366, 412-795) with vectorized host
+passes. The fast path (no masks) is pure array concatenation; the masked
+path replicates the reference's interval-walking semantics exactly,
+including its documented inexactness for partially covered nodes
+(see comment at src/graph_broker/util.rs:444-463).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .gfa import GraphStorage, ItemTable, PathSegment
+from .mask import GraphMask
+from .utils import (
+    ActiveTable,
+    CountType,
+    IntervalContainer,
+    intersects,
+    is_contained,
+)
+
+log = logging.getLogger("panacus")
+
+COMPLETE = [(0, (1 << 63) - 1)]
+
+
+@dataclass
+class ItemizeResult:
+    item_tables: List[ItemTable]  # one per requested count type
+    exclude_tables: List[Optional[ActiveTable]]
+    subset_covered_bps: Optional[IntervalContainer]
+    paths_len: Dict[PathSegment, Tuple[int, int]]
+
+
+def itemize_paths(
+    graph: GraphStorage,
+    mask: GraphMask,
+    count_types: List[CountType],
+) -> ItemizeResult:
+    """Single host pass over all P/W lines producing item tables for every
+    requested count type (reference: parse_gfa_paths_walks_multiple,
+    src/graph_broker/util.rs:22-206).
+
+    Node and Bp share one item table (cloned at the end); Edge gets its own.
+    """
+    n_paths = len(graph.path_segments)
+    item_tables = [ItemTable(n_paths) for _ in count_types]
+    subset_covered_bps, exclude_tables, include_map, exclude_map = (
+        mask.load_optional_subsetting(graph, count_types)
+    )
+    paths_len: Dict[PathSegment, Tuple[int, int]] = {}
+
+    # map each count type to its computation slot: Node computes via Bp slot
+    slot_of: Dict[CountType, List[int]] = {}
+    for i, ct in enumerate(count_types):
+        eff = CountType.BP if ct == CountType.NODE else ct
+        slot_of.setdefault(eff, []).append(i)
+
+    has_include = mask.include_coords is not None
+    has_exclude = mask.exclude_coords is not None
+
+    for num_path, path_seg in enumerate(graph.path_segments):
+        include_coords = (
+            COMPLETE
+            if not has_include
+            else include_map.get(path_seg.id(), [])
+        )
+        exclude_coords = (
+            [] if not has_exclude else exclude_map.get(path_seg.id(), [])
+        )
+        c = path_seg.coords()
+        start, end = c if c is not None else (0, (1 << 63) - 1)
+
+        if (
+            has_include
+            and not intersects(include_coords, (start, end))
+            and not intersects(exclude_coords, (start, end))
+        ):
+            for t in item_tables:
+                t.close_path(num_path)
+            continue
+
+        ids, orient = graph.path_item_run(num_path)
+
+        for eff_count, slots in slot_of.items():
+            exs = [exclude_tables[i] for i in slots]
+            if eff_count != CountType.EDGE and (
+                (not has_include or is_contained(include_coords, (start, end)))
+                and (not has_exclude or is_contained(exclude_coords, (start, end)))
+            ):
+                # fast path: full containment -> plain concatenation
+                ex = None if not exclude_coords else exs
+                table = item_tables[slots[0]]
+                table.append(num_path, ids)
+                bp_len = int(graph.node_lens[ids].astype(np.uint64).sum())
+                if ex is not None:
+                    for e in ex:
+                        if e is not None:
+                            e.items[ids] = True
+                paths_len[path_seg] = (len(ids), bp_len)
+            elif eff_count != CountType.EDGE:
+                node_len, bp_len = _update_tables(
+                    item_tables[slots[0]],
+                    subset_covered_bps,
+                    exs,
+                    num_path,
+                    graph,
+                    ids,
+                    orient,
+                    include_coords,
+                    exclude_coords,
+                    start,
+                )
+                paths_len[path_seg] = (node_len, bp_len)
+            else:
+                _update_tables_edgecount(
+                    item_tables[slots[0]],
+                    exs[0],
+                    num_path,
+                    graph,
+                    ids,
+                    orient,
+                    include_coords,
+                    exclude_coords,
+                    start,
+                )
+
+    for t in item_tables:
+        t.finalize()
+    # Node and Bp share one item table: copy the computed slot into siblings
+    for eff_count, slots in slot_of.items():
+        for extra in slots[1:]:
+            item_tables[extra].items = item_tables[slots[0]].items
+            item_tables[extra].prefsum = item_tables[slots[0]].prefsum
+    return ItemizeResult(item_tables, exclude_tables, subset_covered_bps, paths_len)
+
+
+def itemize_edges_fast(
+    graph: GraphStorage, item_table: ItemTable, num_path: int, ids, orient
+) -> np.ndarray:
+    u, o1 = ids[:-1], orient[:-1]
+    v, o2 = ids[1:], orient[1:]
+    return graph.edge_ids_for_pairs(u, o1, v, o2)
+
+
+def _update_tables(
+    item_table: ItemTable,
+    subset_covered_bps: Optional[IntervalContainer],
+    exclude_tables: List[Optional[ActiveTable]],
+    num_path: int,
+    graph: GraphStorage,
+    ids: np.ndarray,
+    orient: np.ndarray,
+    include_coords,
+    exclude_coords,
+    offset: int,
+) -> Tuple[int, int]:
+    """Interval-walking include/exclude accounting for node/bp counts.
+
+    Bit-exact port of the reference semantics
+    (reference: src/graph_broker/util.rs:412-567): nodes overlapping an
+    include interval are pushed (once per overlapping interval), partial bp
+    coverage is tracked in subset_covered_bps, exclusion marks nodes in
+    exclude tables (annotated for bp)."""
+    i = 0
+    j = 0
+    p = offset
+    included = 0
+    included_bp = 0
+
+    if len(ids) == 0:
+        item_table.close_path(num_path)
+        return 0, 0
+
+    node_lens = graph.node_lens
+    pushed: List[int] = []
+    n_inc = len(include_coords)
+    n_exc = len(exclude_coords)
+
+    for sid, o in zip(ids.tolist(), orient.tolist()):
+        l = int(node_lens[sid])
+
+        stop_here = False
+        while i < n_inc and include_coords[i][0] < p + l and not stop_here:
+            if include_coords[i][1] > p:
+                a = include_coords[i][0] - p if include_coords[i][0] > p else 0
+                if include_coords[i][1] < p + l:
+                    i += 1
+                    b = include_coords[i - 1][1] - p
+                else:
+                    stop_here = True
+                    b = l
+                if o == 1:  # backward
+                    a, b = l - b, l - a
+                pushed.append(sid)
+                if subset_covered_bps is not None:
+                    if b - a == l:
+                        if subset_covered_bps.contains(sid):
+                            subset_covered_bps.remove(sid)
+                    else:
+                        subset_covered_bps.add(sid, a, b)
+                included += 1
+                included_bp += b - a
+            else:
+                i += 1
+
+        stop_here = False
+        while j < n_exc and exclude_coords[j][0] < p + l and not stop_here:
+            if exclude_coords[j][1] > p:
+                a = exclude_coords[j][0] - p if exclude_coords[j][0] > p else 0
+                if exclude_coords[j][1] < p + l:
+                    j += 1
+                    b = exclude_coords[j - 1][1] - p
+                else:
+                    stop_here = True
+                    b = l
+                if o == 1:
+                    a, b = l - b, l - a
+                for ex in exclude_tables:
+                    if ex is not None:
+                        if ex.with_annotation():
+                            ex.activate_n_annotate(sid, l, a, b)
+                        else:
+                            ex.activate(sid)
+            else:
+                j += 1
+
+        if i >= n_inc and j >= n_exc:
+            break
+        p += l
+
+    item_table.append(num_path, np.array(pushed, dtype=np.int64))
+    return included, included_bp
+
+
+def _update_tables_edgecount(
+    item_table: ItemTable,
+    exclude_table: Optional[ActiveTable],
+    num_path: int,
+    graph: GraphStorage,
+    ids: np.ndarray,
+    orient: np.ndarray,
+    include_coords,
+    exclude_coords,
+    offset: int,
+) -> None:
+    """Edge-count interval walking (reference: src/graph_broker/util.rs:723-795).
+
+    Edges sit between nodes; included when the *second* node's span overlaps
+    an active interval."""
+    if len(ids) == 0:
+        item_table.close_path(num_path)
+        return
+    # vectorized canonical edge id lookup for the whole path, then the scalar
+    # interval walk only decides inclusion
+    eids = graph.edge_ids_for_pairs(ids[:-1], orient[:-1], ids[1:], orient[1:])
+    node_lens = graph.node_lens
+
+    i = 0
+    j = 0
+    p = offset + int(node_lens[ids[0]])
+    n_inc = len(include_coords)
+    n_exc = len(exclude_coords)
+    pushed: List[int] = []
+
+    for k in range(len(eids)):
+        while i < n_inc and include_coords[i][1] <= p:
+            i += 1
+        while j < n_exc and exclude_coords[j][1] <= p:
+            j += 1
+        l = int(node_lens[ids[k + 1]])
+        eid = int(eids[k])
+        if i < n_inc and include_coords[i][0] < p + l:
+            pushed.append(eid)
+        if (
+            exclude_table is not None
+            and j < n_exc
+            and exclude_coords[j][0] < p + l
+        ):
+            exclude_table.activate(eid)
+        elif i >= n_inc and j >= n_exc:
+            break
+        p += l
+
+    item_table.append(num_path, np.array(pushed, dtype=np.int64))

@@ -1,0 +1,270 @@
+"""Device compute core: packed node-x-group membership bit matrix.
+
+TPU-native replacement of the reference's mutate-in-place coverage loop
+(reference: src/graph_broker/abacus.rs:719-787). The central object is a
+uint32 bit matrix M[n_words, n_items_pad] where bit (g % 32) of word
+M[g // 32, i] says whether item i occurs in path group g. Because the host
+feeds globally deduplicated (item, group) pairs, each pair touches a
+distinct bit, so a plain scatter-add IS a scatter-OR — XLA handles it
+natively without custom combiners.
+
+Everything downstream is dense array math:
+  coverage  = popcount-reduce over words     (== AbacusByTotal.countable)
+  hist      = weighted bincount of coverage  (== construct_hist / _bps)
+  ordered   = blocked cumulative scans       (== AbacusByGroup::calc_growth)
+  similarity= blocked MXU matmuls            (== Similarity::set_table)
+
+The item axis is the sharding axis: every op here is either elementwise
+over items or a reduction over items, so multi-chip execution shards
+M's columns and psum-merges the tiny outputs (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import List, Optional, Tuple
+
+from ..runtime import configure_jax
+
+configure_jax()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger("panacus")
+
+LANE = 128
+SUBLANE = 8
+ITEM_ALIGN = LANE * SUBLANE  # pad item axis to tile boundary
+CHUNK = 1 << 20  # scatter chunk size (pairs per jit call)
+ORDERED_BLOCK = 1 << 14  # items per block in the scan kernels
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def dedup_pairs(
+    items: np.ndarray, groups: np.ndarray, n_groups: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Distinct (item, group) pairs — the semantic core of the reference's
+    `last[sid] != group_id` dedup (abacus.rs:733-743). Host-side sort-unique;
+    the native accelerator supersedes this for huge inputs."""
+    if len(items) == 0:
+        return items.astype(np.int64), groups.astype(np.int64)
+    key = items.astype(np.int64) * np.int64(n_groups) + groups.astype(np.int64)
+    uniq = np.unique(key)
+    return uniq // n_groups, uniq % n_groups
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_bits(M, words, items, bits):
+    """Accumulate membership bits. Pairs are globally deduplicated, so every
+    (word, item, bit) triple is unique -> add == or."""
+    return M.at[words, items].add(bits, mode="drop")
+
+
+@jax.jit
+def coverage_from_membership(M) -> jax.Array:
+    """Popcount reduction over group words -> per-item group coverage."""
+    return jnp.sum(
+        jax.lax.population_count(M).astype(jnp.int32), axis=0, dtype=jnp.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def hist_from_coverage(cov, weights, n_bins: int) -> jax.Array:
+    """Weighted histogram of coverage values (reference: abacus.rs:746-787).
+    Items with zero weight (sentinel slot 0, padding) contribute nothing."""
+    return jnp.zeros(n_bins, dtype=jnp.int32).at[cov].add(
+        weights.astype(jnp.int32), mode="drop"
+    )
+
+
+def membership_from_pairs(
+    n_words: int,
+    n_items_pad: int,
+    items: np.ndarray,
+    groups: np.ndarray,
+) -> jax.Array:
+    """Build the packed membership matrix from dedup'd pairs, chunked so the
+    scatter compiles once per chunk shape."""
+    M = jnp.zeros((n_words, n_items_pad), dtype=jnp.uint32)
+    n = len(items)
+    if n == 0:
+        return M
+    for a in range(0, n, CHUNK):
+        b = min(a + CHUNK, n)
+        k = b - a
+        k_pad = CHUNK if k == CHUNK else min(_round_up(k, 1 << 14), CHUNK)
+        it = np.zeros(k_pad, dtype=np.int32)
+        wd = np.zeros(k_pad, dtype=np.int32)
+        bt = np.zeros(k_pad, dtype=np.uint32)
+        it[:k] = items[a:b]
+        g = groups[a:b]
+        wd[:k] = g >> 5
+        bt[:k] = np.uint32(1) << (g & np.int64(31)).astype(np.uint32)
+        M = _scatter_bits(M, jnp.asarray(wd), jnp.asarray(it), jnp.asarray(bt))
+    return M
+
+
+def unpack_block(M_block, n_groups: int) -> jax.Array:
+    """[n_words, B] packed uint32 -> [n_groups, B] 0/1 int32 presence."""
+    n_words, B = M_block.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape(1, 32, 1)
+    P = (M_block.reshape(n_words, 1, B) >> shifts) & jnp.uint32(1)
+    return P.reshape(n_words * 32, B)[:n_groups].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _ordered_growth_block(M_block, weights_block, thr_table, c_min: int):
+    """Ordered growth contribution of one item block
+    (reference semantics: src/graph_broker/abacus.rs:988-1032).
+
+    For each group position j (in path order): an item with total coverage
+    >= c_min contributes its weight iff
+        #present-groups<=j  >=  ceil((last-present-group-id<=j + 1) * quorum)
+    thr_table[g+1] holds the host-precomputed ceil((g+1)*quorum); index 0
+    (no present group yet) maps to a sentinel that never passes.
+    """
+    n_groups = thr_table.shape[0] - 1
+    P = unpack_block(M_block, n_groups)  # [G, B]
+    cum = jnp.cumsum(P, axis=0, dtype=jnp.int32)
+    gidx = jnp.arange(n_groups, dtype=jnp.int32).reshape(-1, 1)
+    lp = jax.lax.cummax(jnp.where(P > 0, gidx, -1), axis=0)
+    thr = thr_table[lp + 1]
+    total = cum[-1]
+    ok = (cum >= thr) & (cum >= 1) & (total >= c_min).reshape(1, -1)
+    return jnp.sum(
+        ok.astype(jnp.int64) * weights_block.astype(jnp.int64).reshape(1, -1),
+        axis=1,
+    )
+
+
+def ordered_growth(
+    M: jax.Array,
+    weights: np.ndarray,
+    quorum_rel: float,
+    c_min: int,
+    n_groups: int,
+) -> np.ndarray:
+    """res[j] per ordered group position (== AbacusByGroup::calc_growth)."""
+    n_items_pad = M.shape[1]
+    thr = np.zeros(n_groups + 1, dtype=np.int32)
+    thr[0] = np.iinfo(np.int32).max  # lp == -1 -> never passes
+    for g in range(n_groups):
+        thr[g + 1] = int(np.ceil((g + 1) * quorum_rel))
+    thr_dev = jnp.asarray(thr)
+    res = np.zeros(n_groups, dtype=np.int64)
+    w = np.asarray(weights)
+    for a in range(0, n_items_pad, ORDERED_BLOCK):
+        b = min(a + ORDERED_BLOCK, n_items_pad)
+        wb = np.zeros(ORDERED_BLOCK, dtype=np.int32)
+        wb[: b - a] = w[a:b]
+        Mb = jax.lax.dynamic_slice(
+            M, (0, a), (M.shape[0], min(ORDERED_BLOCK, n_items_pad - a))
+        )
+        if Mb.shape[1] < ORDERED_BLOCK:
+            Mb = jnp.pad(Mb, ((0, 0), (0, ORDERED_BLOCK - Mb.shape[1])))
+        res += np.asarray(
+            _ordered_growth_block(Mb, jnp.asarray(wb), thr_dev, c_min)
+        )
+    return res
+
+
+# -- similarity ----------------------------------------------------------------
+
+SIM_BLOCK = 1 << 13
+
+
+@jax.jit
+def _sim_block(M_block, weights_block, n_groups_pad: Optional[int] = None):
+    """Pairwise group intersection weights of one item block: an MXU matmul
+    over the unpacked presence matrix (== Similarity::set_table accumulation,
+    reference: src/analyses/similarity.rs:119-150)."""
+    n_groups = M_block.shape[0] * 32
+    P = unpack_block(M_block, n_groups).astype(jnp.float32)  # [G, B]
+    Pw = P * weights_block.astype(jnp.float32).reshape(1, -1)
+    return jax.lax.dot_general(
+        P,
+        Pw,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def similarity_intersections(
+    M: jax.Array, weights: np.ndarray, n_groups: int
+) -> np.ndarray:
+    """[G, G] weighted co-occurrence counts, accumulated in float64 on host
+    across blocks (per-block f32 matmuls are exact below 2^24)."""
+    n_items_pad = M.shape[1]
+    acc = np.zeros((M.shape[0] * 32, M.shape[0] * 32), dtype=np.float64)
+    w = np.asarray(weights)
+    for a in range(0, n_items_pad, SIM_BLOCK):
+        b = min(a + SIM_BLOCK, n_items_pad)
+        wb = np.zeros(SIM_BLOCK, dtype=np.float32)
+        wb[: b - a] = w[a:b]
+        Mb = jax.lax.dynamic_slice(
+            M, (0, a), (M.shape[0], min(SIM_BLOCK, n_items_pad - a))
+        )
+        if Mb.shape[1] < SIM_BLOCK:
+            Mb = jnp.pad(Mb, ((0, 0), (0, SIM_BLOCK - Mb.shape[1])))
+        acc += np.asarray(_sim_block(Mb, jnp.asarray(wb)), dtype=np.float64)
+    return acc[:n_groups, :n_groups]
+
+
+# -- engine façade -------------------------------------------------------------
+
+
+class CountingEngine:
+    """Holds the membership matrix for one (graph, mask, count-type) state.
+
+    items are 1-based dense ids (0 = sentinel, as reference abacus.rs:549-552);
+    the matrix is padded to a tile-aligned item count.
+    """
+
+    def __init__(self, n_items: int, n_groups: int):
+        self.n_items = n_items
+        self.n_groups = n_groups
+        self.n_words = max((n_groups + 31) // 32, 1)
+        self.n_items_pad = _round_up(n_items + 1, ITEM_ALIGN)
+        self.M: Optional[jax.Array] = None
+
+    def build(self, items: np.ndarray, groups: np.ndarray, dedup: bool = True):
+        """items/groups: occurrence pairs (any order). Excluded items must be
+        filtered by the caller."""
+        if dedup:
+            items, groups = dedup_pairs(items, groups, self.n_groups)
+        self.M = membership_from_pairs(
+            self.n_words, self.n_items_pad, items, groups
+        )
+        return self
+
+    def coverage(self) -> np.ndarray:
+        """Per-item distinct-group count, length n_items + 1 (slot 0 sentinel)."""
+        cov = np.asarray(coverage_from_membership(self.M))
+        return cov[: self.n_items + 1]
+
+    def hist(self, weights: np.ndarray) -> np.ndarray:
+        """Weighted coverage histogram of size n_groups + 1. weights must have
+        length n_items + 1 with weights[0] == 0."""
+        cov = coverage_from_membership(self.M)
+        w = np.zeros(self.n_items_pad, dtype=np.int32)
+        w[: self.n_items + 1] = weights
+        h = hist_from_coverage(cov, jnp.asarray(w), self.n_groups + 2)
+        return np.asarray(h[: self.n_groups + 1]).astype(np.int64)
+
+    def ordered_growth(
+        self, weights: np.ndarray, quorum_rel: float, c_min: int
+    ) -> np.ndarray:
+        w = np.zeros(self.n_items_pad, dtype=np.int32)
+        w[: self.n_items + 1] = weights
+        return ordered_growth(self.M, w, quorum_rel, c_min, self.n_groups)
+
+    def similarity(self, weights: np.ndarray) -> np.ndarray:
+        w = np.zeros(self.n_items_pad, dtype=np.float32)
+        w[: self.n_items + 1] = weights
+        return similarity_intersections(self.M, w, self.n_groups)

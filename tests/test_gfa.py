@@ -1,0 +1,119 @@
+"""Host parser parity: node/edge/path indexing and PanSN path names."""
+
+import numpy as np
+
+from panacus_tpu.gfa import GraphStorage, PathSegment
+
+
+def test_t_groups_counts(t_groups_gfa):
+    g = GraphStorage(t_groups_gfa, index_edges=True)
+    assert g.node_count == 15
+    assert len(g.path_segments) == 6
+    assert g.edge_count == 20
+    # node lens: S lines in order
+    assert g.node_lens[1] == 8  # CAAATAAG
+    assert g.node_lens[9] == 19
+    assert g.node_lens[15] == 11
+
+
+def test_t_groups_path_items(t_groups_gfa):
+    g = GraphStorage(t_groups_gfa, index_edges=False)
+    ids, orient = g.path_item_run(0)  # P y#1: 1+,3+
+    assert ids.tolist() == [1, 3]
+    assert orient.tolist() == [0, 0]
+    ids, orient = g.path_item_run(5)  # P x: all ten nodes
+    assert ids.tolist() == [1, 3, 5, 6, 8, 9, 11, 12, 14, 15]
+
+
+def test_pansn_parsing():
+    p = PathSegment.from_str("sample#hap#seq:4-8")
+    assert (p.sample, p.haplotype, p.seqid, p.start, p.end) == (
+        "sample",
+        "hap",
+        "seq",
+        4,
+        8,
+    )
+    p = PathSegment.from_str("sample#hap")
+    assert (p.sample, p.haplotype, p.seqid) == ("sample", "hap", None)
+    p = PathSegment.from_str("sample")
+    assert (p.sample, p.haplotype, p.seqid) == ("sample", None, None)
+    p = PathSegment.from_str("sample:1-5")
+    assert (p.sample, p.start, p.end) == ("sample", 1, 5)
+    assert PathSegment.from_str("a#1#c").id() == "a#1#c"
+    assert str(PathSegment.from_str("a#1#c:1-2")) == "a#1#c:1-2"
+
+
+def test_pansn_id_forms():
+    # reference graph.rs:558-579
+    assert PathSegment("s", "h", "c", None, None).id() == "s#h#c"
+    assert PathSegment("s", "h", None, None, None).id() == "s#h"
+    assert PathSegment("s", None, None, None, None).id() == "s"
+
+
+def test_chrm_parse(chrm_gfa):
+    g = GraphStorage(chrm_gfa, index_edges=True)
+    assert len(g.path_segments) == 4
+    samples = sorted({p.sample for p in g.path_segments})
+    assert samples == ["HG00438", "HG00621", "chm13", "grch38"]
+    assert g.node_count == 154
+    assert g.edge_count == 205
+
+
+def test_walk_lines(tmp_path):
+    gfa = tmp_path / "w.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAA\n"
+        "S\t2\tCC\n"
+        "S\t3\tG\n"
+        "W\tsampleA\t1\tchr1\t0\t6\t>1>2<3\n"
+        "W\tsampleB\t1\tchr1\t*\t*\t>3<1\n"
+    )
+    g = GraphStorage(str(gfa), index_edges=False)
+    assert len(g.path_segments) == 2
+    p = g.path_segments[0]
+    assert (p.sample, p.haplotype, p.seqid, p.start, p.end) == (
+        "sampleA",
+        "1",
+        "chr1",
+        0,
+        6,
+    )
+    ids, orient = g.path_item_run(0)
+    assert ids.tolist() == [1, 2, 3]
+    assert orient.tolist() == [0, 0, 1]
+    p2 = g.path_segments[1]
+    assert p2.coords() is None
+    ids, orient = g.path_item_run(1)
+    assert ids.tolist() == [3, 1]
+    assert orient.tolist() == [0, 1]
+
+
+def test_non_integer_node_names(tmp_path):
+    gfa = tmp_path / "named.gfa"
+    gfa.write_text(
+        "S\tfoo\tAAA\n"
+        "S\tbar\tCC\n"
+        "L\tfoo\t+\tbar\t-\t0M\n"
+        "P\tp1\tfoo+,bar-\t*\n"
+    )
+    g = GraphStorage(str(gfa), index_edges=True)
+    assert g.node_count == 2
+    ids, orient = g.path_item_run(0)
+    assert ids.tolist() == [1, 2]
+    assert orient.tolist() == [0, 1]
+    assert g.edge_count == 1
+    assert g.node_name(1) == "foo"
+
+
+def test_gzip_input(tmp_path, t_groups_gfa):
+    import gzip
+    import shutil
+
+    dst = tmp_path / "t.gfa.gz"
+    with open(t_groups_gfa, "rb") as fin, gzip.open(dst, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    g = GraphStorage(str(dst), index_edges=True)
+    assert g.node_count == 15
+    assert g.edge_count == 20
