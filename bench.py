@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end histgrowth (node count) throughput on a synthetic
+pangenome graph, measured as GFA MB/s.
+
+Baseline: the reference panacus processes the 402 MB HPRC chr22 pggb graph
+in ~17 s for node histgrowth (BASELINE.md) => 23.65 MB/s. vs_baseline is
+our MB/s over that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The synthetic graph (deterministic, cached in /tmp) mimics the byte profile
+of a pggb GFA: P-lines dominate, integer node names, short segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MBPS = 402.0 / 17.0
+
+N_NODES = int(os.environ.get("PANACUS_BENCH_NODES", 300_000))
+N_PATHS = int(os.environ.get("PANACUS_BENCH_PATHS", 44))
+SEED = 7
+CACHE = f"/tmp/panacus_bench_{N_NODES}_{N_PATHS}_{SEED}.gfa"
+
+
+def make_graph(path: str) -> None:
+    rng = np.random.default_rng(SEED)
+    t0 = time.time()
+    lens = rng.integers(1, 17, size=N_NODES)
+    seq_pool = ("ACGT" * 5)[:16]
+    with open(path, "w") as f:
+        f.write("H\tVN:Z:1.0\n")
+        # S lines
+        s_lines = [
+            f"S\t{i + 1}\t{seq_pool[: lens[i]]}" for i in range(N_NODES)
+        ]
+        f.write("\n".join(s_lines))
+        f.write("\n")
+        del s_lines
+        # L lines: a sparse backbone
+        l_u = np.arange(1, N_NODES)
+        f.write(
+            "\n".join(f"L\t{u}\t+\t{u + 1}\t+\t0M" for u in l_u[:50000])
+        )
+        f.write("\n")
+        # P lines: each sample visits a sorted random subset
+        for p in range(N_PATHS):
+            frac = 0.55 + 0.25 * rng.random()
+            visited = np.flatnonzero(rng.random(N_NODES) < frac) + 1
+            toks = np.char.add(visited.astype("U8"), "+")
+            f.write(f"P\tsample{p}#1#chr1\t")
+            f.write(",".join(toks.tolist()))
+            f.write("\t*\n")
+    sys.stderr.write(
+        f"[bench] generated {path}: {os.path.getsize(path) / 1e6:.1f} MB in "
+        f"{time.time() - t0:.1f}s\n"
+    )
+
+
+def run_histgrowth(gfa: str):
+    from panacus_tpu.abacus import AbacusByTotal, path_order_groups
+    from panacus_tpu.gfa import GraphStorage
+    from panacus_tpu.hist import Hist
+    from panacus_tpu.itemize import itemize_paths
+    from panacus_tpu.mask import GraphMask, GraphMaskParameters
+    from panacus_tpu.utils import CountType, ThresholdContainer
+
+    t0 = time.time()
+    g = GraphStorage(gfa, index_edges=False)
+    mask = GraphMask.from_datamgr(
+        GraphMaskParameters(groupby_sample=True), g
+    )
+    itemized = itemize_paths(g, mask, [CountType.NODE])
+    t_parse = time.time() - t0
+
+    t1 = time.time()
+    path_order, groups = path_order_groups(mask, g.path_segments)
+    ab = AbacusByTotal.from_itemization(
+        CountType.NODE, 0, itemized, path_order, groups, g
+    )
+    hist = ab.construct_hist()
+    t_device = time.time() - t1
+
+    t2 = time.time()
+    h = Hist(CountType.NODE, [int(x) for x in hist])
+    tc = ThresholdContainer.parse_params("0,0.5,1.0", "0,1,2")
+    growths = h.calc_all_growths(tc)
+    t_growth = time.time() - t2
+    return hist, growths, (t_parse, t_device, t_growth)
+
+
+def device_responsive(timeout_s: int = 180) -> bool:
+    """Probe the default JAX backend in a subprocess: compile + run one tiny
+    op. TPU tunnels can stall indefinitely; a dead probe means we fall back
+    to CPU so the bench always reports."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.zeros((8, 128), jnp.float32) + 1;"
+        "print(float(x.sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main() -> None:
+    if os.environ.get("PANACUS_BENCH_FALLBACK") != "1":
+        if not device_responsive():
+            sys.stderr.write(
+                "[bench] device backend unresponsive; falling back to CPU\n"
+            )
+            env = dict(os.environ)
+            env["PANACUS_BENCH_FALLBACK"] = "1"
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    if not os.path.exists(CACHE):
+        make_graph(CACHE)
+    size_mb = os.path.getsize(CACHE) / 1e6
+
+    # warm-up pass: populates the persistent XLA compile cache so the timed
+    # pass measures steady-state throughput, not first-compile latency
+    sys.stderr.write("[bench] warm-up pass..\n")
+    run_histgrowth(CACHE)
+
+    t0 = time.time()
+    hist, growths, (tp, td, tg) = run_histgrowth(CACHE)
+    wall = time.time() - t0
+    mbps = size_mb / wall
+    sys.stderr.write(
+        f"[bench] {size_mb:.1f} MB in {wall:.2f}s "
+        f"(parse {tp:.2f}s, device {td:.2f}s, growth {tg:.2f}s) "
+        f"=> {mbps:.1f} MB/s; hist head {hist[:4].tolist()}\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "histgrowth_node_throughput",
+                "value": round(mbps, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

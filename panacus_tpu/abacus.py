@@ -40,6 +40,33 @@ def path_order_groups(
     return out, groups
 
 
+def build_membership_host(
+    item_table: ItemTable,
+    path_order: List[Tuple[int, int]],
+    exclude_table: Optional[ActiveTable],
+    n_items: int,
+    n_groups: int,
+    n_items_pad: int,
+) -> np.ndarray:
+    """Build the packed membership matrix M[n_words, n_items_pad] host-side:
+    one vectorized OR per (path, group) block. Duplicate item visits OR the
+    same bit — no dedup pass needed. Excluded items are zeroed afterwards
+    (equivalent to the reference's per-visit exclude check,
+    abacus.rs:736-737, since an all-zero column counts as coverage 0)."""
+    n_words = max((n_groups + 31) // 32, 1)
+    M = np.zeros((n_words, n_items_pad), dtype=np.uint32)
+    for path_id, group_idx in path_order:
+        ids = item_table.path_slice(path_id)
+        if len(ids) == 0:
+            continue
+        M[group_idx >> 5, ids] |= np.uint32(1 << (group_idx & 31))
+    if exclude_table is not None:
+        excluded = np.flatnonzero(exclude_table.items)
+        M[:, excluded] = 0
+    M[:, 0] = 0  # sentinel slot
+    return M
+
+
 def occurrence_pairs(
     item_table: ItemTable,
     path_order: List[Tuple[int, int]],
@@ -127,10 +154,15 @@ class AbacusByTotal:
     ) -> "AbacusByTotal":
         n_items = graph.number_of_items(count)
         engine = CountingEngine(n_items, len(groups))
-        items, group_ids = occurrence_pairs(
-            itemized.item_tables[slot], path_order, itemized.exclude_tables[slot]
+        M_host = build_membership_host(
+            itemized.item_tables[slot],
+            path_order,
+            itemized.exclude_tables[slot],
+            n_items,
+            len(groups),
+            engine.n_items_pad,
         )
-        engine.build(items, group_ids)
+        engine.build_from_host_matrix(M_host)
         uncovered = quantify_uncovered_bps(
             itemized.exclude_tables[slot],
             itemized.subset_covered_bps if count == CountType.BP else None,
@@ -207,10 +239,18 @@ class AbacusByGroup:
     ) -> "AbacusByGroup":
         n_items = graph.number_of_items(count)
         engine = CountingEngine(n_items, len(groups))
+        M_host = build_membership_host(
+            itemized.item_tables[slot],
+            path_order,
+            itemized.exclude_tables[slot],
+            n_items,
+            len(groups),
+            engine.n_items_pad,
+        )
+        engine.build_from_host_matrix(M_host)
         items, group_ids = occurrence_pairs(
             itemized.item_tables[slot], path_order, itemized.exclude_tables[slot]
         )
-        engine.build(items, group_ids)
         uncovered = quantify_uncovered_bps(
             itemized.exclude_tables[slot],
             itemized.subset_covered_bps if count == CountType.BP else None,

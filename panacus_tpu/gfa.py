@@ -380,6 +380,18 @@ class GraphStorage:
         """
         a, b = self._pw_seq_spans[path_idx]
         buf = self._buf
+        if self._int_name_mode is not None:
+            from .native import parse_path_tokens
+
+            res = parse_path_tokens(
+                buf, a, b, walk=bool(self._pw_is_walk[path_idx])
+            )
+            if res is not None:
+                vals, orient = res
+                ids = self._ids_from_int_names(
+                    vals, f"path {self.path_segments[path_idx]}"
+                )
+                return ids, orient
         if self._pw_is_walk[path_idx]:
             seg = buf[a:b]
             seps = np.flatnonzero((seg == 62) | (seg == 60))  # '>' '<'
@@ -401,7 +413,14 @@ class GraphStorage:
             tok_full_ends[:-1] = commas + a
             tok_full_ends[-1] = b
             # last char of each token is orientation (+/-)
-            orient = (buf[tok_full_ends - 1] == 45).astype(np.uint8)
+            ochars = buf[tok_full_ends - 1]
+            bad = (ochars != 43) & (ochars != 45)
+            if bad.any():
+                raise ValueError(
+                    "unknown orientation of segment in path "
+                    f"{self.path_segments[path_idx]}"
+                )
+            orient = (ochars == 45).astype(np.uint8)
             tok_ends = tok_full_ends - 1
         if self._int_name_mode is not None:
             vals = _parse_ints_from_spans(buf, tok_starts, tok_ends)

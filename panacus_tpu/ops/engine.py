@@ -61,9 +61,28 @@ def dedup_pairs(
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_bits(M, words, items, bits):
-    """Accumulate membership bits. Pairs are globally deduplicated, so every
-    (word, item, bit) triple is unique -> add == or."""
-    return M.at[words, items].add(bits, mode="drop")
+    """Accumulate membership bits. The host pre-ORs bits per (item, word),
+    so indices are unique and add == or."""
+    return M.at[words, items].add(bits, mode="drop", unique_indices=True)
+
+
+def pack_pairs(
+    items: np.ndarray, groups: np.ndarray, n_words: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reduce sorted dedup'd (item, group) pairs to unique (item, word, bits)
+    scatter updates by OR-ing group bits per word host-side."""
+    if len(items) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), np.zeros(0, np.uint32)
+    words = (groups >> 5).astype(np.int64)
+    bits = (np.uint32(1) << (groups & np.int64(31)).astype(np.uint32))
+    key = items * np.int64(n_words) + words
+    starts = np.empty(len(key), dtype=bool)
+    starts[0] = True
+    np.not_equal(key[1:], key[:-1], out=starts[1:])
+    start_idx = np.flatnonzero(starts)
+    orbits = np.bitwise_or.reduceat(bits, start_idx)
+    return items[start_idx], words[start_idx], orbits
 
 
 @jax.jit
@@ -92,7 +111,8 @@ def membership_from_pairs(
     """Build the packed membership matrix from dedup'd pairs, chunked so the
     scatter compiles once per chunk shape."""
     M = jnp.zeros((n_words, n_items_pad), dtype=jnp.uint32)
-    n = len(items)
+    u_items, u_words, u_bits = pack_pairs(items, groups, n_words)
+    n = len(u_items)
     if n == 0:
         return M
     for a in range(0, n, CHUNK):
@@ -102,10 +122,9 @@ def membership_from_pairs(
         it = np.zeros(k_pad, dtype=np.int32)
         wd = np.zeros(k_pad, dtype=np.int32)
         bt = np.zeros(k_pad, dtype=np.uint32)
-        it[:k] = items[a:b]
-        g = groups[a:b]
-        wd[:k] = g >> 5
-        bt[:k] = np.uint32(1) << (g & np.int64(31)).astype(np.uint32)
+        it[:k] = u_items[a:b]
+        wd[:k] = u_words[a:b]
+        bt[:k] = u_bits[a:b]
         M = _scatter_bits(M, jnp.asarray(wd), jnp.asarray(it), jnp.asarray(bt))
     return M
 
@@ -241,6 +260,15 @@ class CountingEngine:
         self.M = membership_from_pairs(
             self.n_words, self.n_items_pad, items, groups
         )
+        return self
+
+    def build_from_host_matrix(self, M_host: np.ndarray):
+        """Adopt a host-assembled packed membership matrix (one upload)."""
+        assert M_host.shape == (self.n_words, self.n_items_pad), (
+            M_host.shape,
+            (self.n_words, self.n_items_pad),
+        )
+        self.M = jnp.asarray(M_host)
         return self
 
     def coverage(self) -> np.ndarray:
