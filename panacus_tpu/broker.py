@@ -187,9 +187,12 @@ class GraphBroker:
         return [self.count_type]
 
     def _set_abaci_by_total(self) -> None:
+        from .runtime import phase_timer
+
         count_types = self._count_types()
         log.info("calculating abaci for count_types: %s", count_types)
-        itemized = itemize_paths(self.graph_aux, self.mask, count_types)
+        with phase_timer("itemize_paths"):
+            itemized = itemize_paths(self.graph_aux, self.mask, count_types)
         self._itemized = itemized
         self._itemized_counts = count_types
         path_order, groups = path_order_groups(
@@ -199,9 +202,10 @@ class GraphBroker:
         self._ordered_groups = groups
         abaci = {}
         for slot, ct in enumerate(count_types):
-            abaci[ct] = AbacusByTotal.from_itemization(
-                ct, slot, itemized, path_order, groups, self.graph_aux
-            )
+            with phase_timer(f"abacus_by_total[{ct}]"):
+                abaci[ct] = AbacusByTotal.from_itemization(
+                    ct, slot, itemized, path_order, groups, self.graph_aux
+                )
         self.total_abaci = abaci
         if Req.PATH_LENS in self.input_requirements:
             self.path_lens = itemized.paths_len

@@ -156,8 +156,10 @@ def _ordered_growth_block(M_block, weights_block, thr_table, c_min: int):
     thr = thr_table[lp + 1]
     total = cum[-1]
     ok = (cum >= thr) & (cum >= 1) & (total >= c_min).reshape(1, -1)
+    # int32 accumulation: per-block partials stay < 2^31 (blocks are 2^14
+    # items); the host accumulates across blocks in int64
     return jnp.sum(
-        ok.astype(jnp.int64) * weights_block.astype(jnp.int64).reshape(1, -1),
+        ok.astype(jnp.int32) * weights_block.astype(jnp.int32).reshape(1, -1),
         axis=1,
     )
 
@@ -279,11 +281,39 @@ class CountingEngine:
     def hist(self, weights: np.ndarray) -> np.ndarray:
         """Weighted coverage histogram of size n_groups + 1. weights must have
         length n_items + 1 with weights[0] == 0."""
-        cov = coverage_from_membership(self.M)
         w = np.zeros(self.n_items_pad, dtype=np.int32)
         w[: self.n_items + 1] = weights
-        h = hist_from_coverage(cov, jnp.asarray(w), self.n_groups + 2)
+        n_bins = self.n_groups + 2
+        total_w = int(w.astype(np.int64).sum())
+        if total_w < (1 << 24):
+            # f32 one-hot matmul path: exact below 2^24, MXU work on TPU
+            h = self._hist_fast(w, n_bins)
+            if h is not None:
+                return h
+        cov = coverage_from_membership(self.M)
+        h = hist_from_coverage(cov, jnp.asarray(w), n_bins)
         return np.asarray(h[: self.n_groups + 1]).astype(np.int64)
+
+    def _hist_fast(self, w: np.ndarray, n_bins: int):
+        import jax
+
+        platform = jax.devices()[0].platform
+        try:
+            if platform in ("tpu", "axon"):
+                from .pallas_kernels import fused_hist_tpu
+
+                h = fused_hist_tpu(self.M, jnp.asarray(w), n_bins)
+            else:
+                from .pallas_kernels import hist_onehot
+
+                cov = coverage_from_membership(self.M)
+                h = hist_onehot(cov, jnp.asarray(w), n_bins)
+        except Exception as e:  # pragma: no cover - lowering fallback
+            log.debug("fast hist path failed (%s); using scatter", e)
+            return None
+        return (
+            np.asarray(h[: self.n_groups + 1]).astype(np.int64)
+        )
 
     def ordered_growth(
         self, weights: np.ndarray, quorum_rel: float, c_min: int

@@ -37,6 +37,59 @@ def configure_jax() -> None:
         log.debug("could not enable jax compilation cache: %s", e)
 
 
+class phase_timer:
+    """Wall-clock phase timing, logged at INFO — the counterpart of the
+    reference's per-pass Instant timers (graph_broker/util.rs:45,194-199).
+    Doubles as a JAX profiler trace scope when PANACUS_TPU_PROFILE=<dir>."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        import time
+
+        self._t0 = time.perf_counter()
+        self._trace_dir = os.environ.get("PANACUS_TPU_PROFILE")
+        if self._trace_dir:
+            try:
+                import jax.profiler
+
+                self._ann = jax.profiler.TraceAnnotation(self.name)
+                self._ann.__enter__()
+            except Exception:
+                self._ann = None
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        if self._trace_dir and getattr(self, "_ann", None) is not None:
+            self._ann.__exit__(*exc)
+        log.info(
+            "phase %s done; time elapsed: %.3fs",
+            self.name,
+            time.perf_counter() - self._t0,
+        )
+        return False
+
+
+def maybe_start_profiler() -> None:
+    d = os.environ.get("PANACUS_TPU_PROFILE")
+    if d:
+        import jax.profiler
+
+        os.makedirs(d, exist_ok=True)
+        jax.profiler.start_trace(d)
+        log.info("JAX profiler tracing to %s", d)
+
+
+def maybe_stop_profiler() -> None:
+    if os.environ.get("PANACUS_TPU_PROFILE"):
+        import jax.profiler
+
+        jax.profiler.stop_trace()
+
+
 def device_summary() -> str:
     import jax
 
