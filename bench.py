@@ -96,39 +96,10 @@ def run_histgrowth(gfa: str):
     return hist, growths, (t_parse, t_device, t_growth)
 
 
-def device_responsive(timeout_s: int = 180) -> bool:
-    """Probe the default JAX backend in a subprocess: compile + run one tiny
-    op. TPU tunnels can stall indefinitely; a dead probe means we fall back
-    to CPU so the bench always reports."""
-    import subprocess
-
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "x = jnp.zeros((8, 128), jnp.float32) + 1;"
-        "print(float(x.sum()))"
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def main() -> None:
-    if os.environ.get("PANACUS_BENCH_FALLBACK") != "1":
-        if not device_responsive():
-            sys.stderr.write(
-                "[bench] device backend unresponsive; falling back to CPU\n"
-            )
-            env = dict(os.environ)
-            env["PANACUS_BENCH_FALLBACK"] = "1"
-            env["JAX_PLATFORMS"] = "cpu"
-            env.pop("PALLAS_AXON_POOL_IPS", None)
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+def run_inner() -> None:
+    """Generate + warm up + measure + print the JSON line. Run inside a
+    bounded subprocess by main(), because TPU-tunnel backends can stall
+    arbitrarily long in compilation."""
     if not os.path.exists(CACHE):
         make_graph(CACHE)
     size_mb = os.path.getsize(CACHE) / 1e6
@@ -154,6 +125,59 @@ def main() -> None:
                 "value": round(mbps, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    """Orchestrate: try the default backend (TPU) in a bounded subprocess;
+    fall back to CPU if it stalls or fails. Always emits one JSON line."""
+    import subprocess
+
+    if "--inner" in sys.argv:
+        run_inner()
+        return
+
+    budget = int(os.environ.get("PANACUS_BENCH_TIMEOUT", "900"))
+    attempts = [
+        ("default backend", dict(os.environ), budget),
+    ]
+    cpu_env = dict(os.environ)
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
+    attempts.append(("cpu fallback", cpu_env, budget))
+
+    for name, env, t in attempts:
+        sys.stderr.write(f"[bench] attempt: {name} (timeout {t}s)\n")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                env=env,
+                timeout=t,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] {name} timed out\n")
+            continue
+        sys.stderr.write(r.stderr)
+        line = None
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{"):
+                line = ln
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        sys.stderr.write(f"[bench] {name} failed (rc={r.returncode})\n")
+    # last resort: report zero throughput rather than nothing
+    print(
+        json.dumps(
+            {
+                "metric": "histgrowth_node_throughput",
+                "value": 0.0,
+                "unit": "MB/s",
+                "vs_baseline": 0.0,
             }
         )
     )

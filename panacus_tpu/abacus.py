@@ -19,7 +19,6 @@ from .gfa import GraphStorage, ItemTable, PathSegment
 from .itemize import ItemizeResult
 from .mask import GraphMask
 from .ops import CountingEngine
-from .ops.engine import dedup_pairs, ordered_growth, similarity_intersections
 from .utils import ActiveTable, CountType, IntervalContainer, Threshold
 
 log = logging.getLogger("panacus")
@@ -215,17 +214,19 @@ class AbacusByGroup:
         groups: List[str],
         uncovered_bps: Dict[int, int],
         graph: GraphStorage,
-        occ_items: np.ndarray,
-        occ_groups: np.ndarray,
+        itemized: ItemizeResult,
+        slot: int,
+        path_order: List[Tuple[int, int]],
     ):
         self.count = count
         self.engine = engine
         self.groups = groups
         self.uncovered_bps = uncovered_bps
         self._graph = graph
-        # raw occurrence pairs (not dedup'd) for multiplicity export
-        self._occ_items = occ_items
-        self._occ_groups = occ_groups
+        # kept for lazy multiplicity export (table analysis only)
+        self._itemized = itemized
+        self._slot = slot
+        self._path_order = path_order
 
     @classmethod
     def from_itemization(
@@ -248,9 +249,6 @@ class AbacusByGroup:
             engine.n_items_pad,
         )
         engine.build_from_host_matrix(M_host)
-        items, group_ids = occurrence_pairs(
-            itemized.item_tables[slot], path_order, itemized.exclude_tables[slot]
-        )
         uncovered = quantify_uncovered_bps(
             itemized.exclude_tables[slot],
             itemized.subset_covered_bps if count == CountType.BP else None,
@@ -261,7 +259,9 @@ class AbacusByGroup:
             len(groups),
             n_items,
         )
-        return cls(count, engine, groups, uncovered, graph, items, group_ids)
+        return cls(
+            count, engine, groups, uncovered, graph, itemized, slot, path_order
+        )
 
     def _weights(self) -> np.ndarray:
         """Per-item growth weight: 1 for node/edge, covered bp for bp
@@ -316,12 +316,17 @@ class AbacusByGroup:
         the CSC (r, c, v) equivalent for table export
         (reference: compute_column_values abacus.rs:901-986)."""
         n_groups = len(self.groups)
-        if len(self._occ_items) == 0:
+        occ_items, occ_groups = occurrence_pairs(
+            self._itemized.item_tables[self._slot],
+            self._path_order,
+            self._itemized.exclude_tables[self._slot],
+        )
+        if len(occ_items) == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        key = self._occ_items.astype(np.int64) * np.int64(
+        key = occ_items.astype(np.int64) * np.int64(
             n_groups
-        ) + self._occ_groups.astype(np.int64)
+        ) + occ_groups.astype(np.int64)
         uniq, counts = np.unique(key, return_counts=True)
         return uniq // n_groups, uniq % n_groups, counts
 

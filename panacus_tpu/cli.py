@@ -47,10 +47,21 @@ def _add_threshold_args(p: argparse.ArgumentParser):
 
 
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(prog="panacus")
-    ap.add_argument("-t", "--threads", type=int, default=0)
-    ap.add_argument("-v", "--verbose", action="store_true")
-    sub = ap.add_subparsers(dest="command", required=True)
+    # global flags usable before or after the subcommand, like clap's
+    # .global(true) args (reference: src/lib.rs:94-111)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("-t", "--threads", type=int, default=0)
+    common.add_argument("-v", "--verbose", action="store_true")
+
+    ap = argparse.ArgumentParser(prog="panacus", parents=[common])
+    subparsers = ap.add_subparsers(dest="command", required=True)
+
+    class _Sub:
+        def add_parser(self, name, **kw):
+            kw.setdefault("parents", [common])
+            return subparsers.add_parser(name, **kw)
+
+    sub = _Sub()
 
     p = sub.add_parser("render", help="Render an html report from JSON result files")
     p.add_argument("json_files", nargs="+")
@@ -267,6 +278,9 @@ def run_cli(argv: Optional[List[str]] = None) -> int:
         format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
         stream=sys.stderr,
     )
+    from .runtime import set_num_threads
+
+    set_num_threads(args.threads)
     out = sys.stdout
 
     from .pipeline import convert_to_tasks, execute_pipeline

@@ -66,6 +66,28 @@ def itemize_paths(
     has_include = mask.include_coords is not None
     has_exclude = mask.exclude_coords is not None
 
+    # tokenize paths concurrently: the native tokenizer and numpy both
+    # release the GIL, so a thread pool scales on real cores (the
+    # counterpart of the reference's rayon par_split, util.rs:1206-1229)
+    from .runtime import effective_threads
+
+    n_workers = min(effective_threads(), max(n_paths, 1))
+    runs: List = [None] * n_paths
+    if has_include:
+        pass  # subset mode: tokenize lazily, skipped paths are never parsed
+    elif n_workers > 1 and n_paths > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            for i, r in zip(
+                range(n_paths),
+                ex.map(graph.path_item_run, range(n_paths)),
+            ):
+                runs[i] = r
+    else:
+        for i in range(n_paths):
+            runs[i] = graph.path_item_run(i)
+
     for num_path, path_seg in enumerate(graph.path_segments):
         include_coords = (
             COMPLETE
@@ -87,7 +109,11 @@ def itemize_paths(
                 t.close_path(num_path)
             continue
 
-        ids, orient = graph.path_item_run(num_path)
+        if runs[num_path] is not None:
+            ids, orient = runs[num_path]
+            runs[num_path] = None
+        else:
+            ids, orient = graph.path_item_run(num_path)
 
         for eff_count, slots in slot_of.items():
             exs = [exclude_tables[i] for i in slots]

@@ -12,6 +12,22 @@ import os
 log = logging.getLogger("panacus")
 
 _CONFIGURED = False
+_NUM_THREADS = 0  # 0 = all cores
+
+
+def set_num_threads(n: int) -> None:
+    """Host-side worker thread count (CLI -t; 0 = all cores). The TPU-native
+    analogue of the reference's rayon pool size (src/lib.rs:55-67): it bounds
+    the tokenizer thread pool; device parallelism is unaffected."""
+    global _NUM_THREADS
+    _NUM_THREADS = max(int(n), 0)
+    log.info("running panacus on %d host threads", effective_threads())
+
+
+def effective_threads() -> int:
+    if _NUM_THREADS > 0:
+        return _NUM_THREADS
+    return os.cpu_count() or 1
 
 
 def configure_jax() -> None:
