@@ -27,40 +27,56 @@ BASELINE_MBPS = 402.0 / 17.0
 N_NODES = int(os.environ.get("PANACUS_BENCH_NODES", 300_000))
 N_PATHS = int(os.environ.get("PANACUS_BENCH_PATHS", 44))
 SEED = 7
-CACHE = f"/tmp/panacus_bench_{N_NODES}_{N_PATHS}_{SEED}.gfa"
+GEN_VERSION = 2  # bump when make_graph changes
+CACHE = f"/tmp/panacus_bench_v{GEN_VERSION}_{N_NODES}_{N_PATHS}_{SEED}.gfa"
 
 
 def make_graph(path: str) -> None:
+    """Deterministic pggb-like graph: P-lines dominate the bytes, every
+    consecutive path pair is backed by an L line (edge-consistent, so the
+    edge count type works on it too)."""
     rng = np.random.default_rng(SEED)
     t0 = time.time()
     lens = rng.integers(1, 17, size=N_NODES)
     seq_pool = ("ACGT" * 5)[:16]
+    visits = []
+    for p in range(N_PATHS):
+        frac = 0.55 + 0.25 * rng.random()
+        visits.append(np.flatnonzero(rng.random(N_NODES) < frac) + 1)
+    # unique consecutive pairs across all paths (all forward-oriented, so
+    # canonical == (min, max) is not needed: u < v always as visits sorted)
+    keys = set()
+    edge_chunks = []
+    for v in visits:
+        k = (v[:-1].astype(np.uint64) << np.uint64(32)) | v[1:].astype(
+            np.uint64
+        )
+        edge_chunks.append(k)
+    uniq = np.unique(np.concatenate(edge_chunks))
+    eu = (uniq >> np.uint64(32)).astype(np.int64)
+    ev = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
     with open(path, "w") as f:
         f.write("H\tVN:Z:1.0\n")
-        # S lines
         s_lines = [
             f"S\t{i + 1}\t{seq_pool[: lens[i]]}" for i in range(N_NODES)
         ]
         f.write("\n".join(s_lines))
         f.write("\n")
         del s_lines
-        # L lines: a sparse backbone
-        l_u = np.arange(1, N_NODES)
         f.write(
-            "\n".join(f"L\t{u}\t+\t{u + 1}\t+\t0M" for u in l_u[:50000])
+            "\n".join(
+                f"L\t{u}\t+\t{v}\t+\t0M" for u, v in zip(eu.tolist(), ev.tolist())
+            )
         )
         f.write("\n")
-        # P lines: each sample visits a sorted random subset
-        for p in range(N_PATHS):
-            frac = 0.55 + 0.25 * rng.random()
-            visited = np.flatnonzero(rng.random(N_NODES) < frac) + 1
+        for p, visited in enumerate(visits):
             toks = np.char.add(visited.astype("U8"), "+")
             f.write(f"P\tsample{p}#1#chr1\t")
             f.write(",".join(toks.tolist()))
             f.write("\t*\n")
     sys.stderr.write(
-        f"[bench] generated {path}: {os.path.getsize(path) / 1e6:.1f} MB in "
-        f"{time.time() - t0:.1f}s\n"
+        f"[bench] generated {path}: {os.path.getsize(path) / 1e6:.1f} MB, "
+        f"{len(uniq)} edges, in {time.time() - t0:.1f}s\n"
     )
 
 
@@ -96,6 +112,27 @@ def run_histgrowth(gfa: str):
     return hist, growths, (t_parse, t_device, t_growth)
 
 
+def run_histgrowth_edge(gfa: str):
+    from panacus_tpu.abacus import AbacusByTotal, path_order_groups
+    from panacus_tpu.gfa import GraphStorage
+    from panacus_tpu.hist import Hist
+    from panacus_tpu.itemize import itemize_paths
+    from panacus_tpu.mask import GraphMask, GraphMaskParameters
+    from panacus_tpu.utils import CountType, ThresholdContainer
+
+    g = GraphStorage(gfa, index_edges=True)
+    mask = GraphMask.from_datamgr(GraphMaskParameters(groupby_sample=True), g)
+    itemized = itemize_paths(g, mask, [CountType.EDGE])
+    path_order, groups = path_order_groups(mask, g.path_segments)
+    ab = AbacusByTotal.from_itemization(
+        CountType.EDGE, 0, itemized, path_order, groups, g
+    )
+    hist = ab.construct_hist()
+    h = Hist(CountType.EDGE, [int(x) for x in hist])
+    tc = ThresholdContainer.parse_params("0,0.5,1.0", "0,1,2")
+    return h.calc_all_growths(tc)
+
+
 def run_inner() -> None:
     """Generate + warm up + measure + print the JSON line. Run inside a
     bounded subprocess by main(), because TPU-tunnel backends can stall
@@ -118,6 +155,19 @@ def run_inner() -> None:
         f"(parse {tp:.2f}s, device {td:.2f}s, growth {tg:.2f}s) "
         f"=> {mbps:.1f} MB/s; hist head {hist[:4].tolist()}\n"
     )
+
+    # secondary: edge-count histgrowth (reference chr22 edge baseline:
+    # 402 MB / 79 s = 5.1 MB/s) — reported on stderr
+    try:
+        t0 = time.time()
+        run_histgrowth_edge(CACHE)
+        wall_e = time.time() - t0
+        sys.stderr.write(
+            f"[bench] edge histgrowth: {size_mb / wall_e:.1f} MB/s "
+            f"(reference baseline 5.1 MB/s => {size_mb / wall_e / 5.09:.2f}x)\n"
+        )
+    except Exception as e:
+        sys.stderr.write(f"[bench] edge stage failed: {e}\n")
     print(
         json.dumps(
             {
@@ -140,10 +190,18 @@ def main() -> None:
         return
 
     budget = int(os.environ.get("PANACUS_BENCH_TIMEOUT", "900"))
+    # heap-reuse tunables: fresh page faults can be ~0.3ms each on
+    # ballooned VMs (see runtime.configure_host_memory)
+    malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+        "MALLOC_MMAP_MAX_": "0",
+    }
+    default_env = dict(os.environ, **malloc_env)
     attempts = [
-        ("default backend", dict(os.environ), budget),
+        ("default backend", default_env, budget),
     ]
-    cpu_env = dict(os.environ)
+    cpu_env = dict(default_env)
     cpu_env["JAX_PLATFORMS"] = "cpu"
     cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
     attempts.append(("cpu fallback", cpu_env, budget))

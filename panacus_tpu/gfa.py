@@ -19,6 +19,11 @@ import numpy as np
 
 log = logging.getLogger("panacus")
 
+# large-buffer parsing wants heap reuse on lazy-memory VMs
+from .runtime import configure_host_memory
+
+configure_host_memory()
+
 # PanSN path name handling (reference: src/graph_broker/graph.rs:16-18)
 PATHID_PANSN = re.compile(r"^([^#]+)(#[^#]+)?(#[^#].*)?$")
 PATHID_COORDS = re.compile(r"^(.+):([0-9]+)-([0-9]+)$")

@@ -145,6 +145,18 @@ def itemize_paths(
                     start,
                 )
                 paths_len[path_seg] = (node_len, bp_len)
+            elif not has_include and not exclude_coords:
+                # no masks: every consecutive pair is included — vectorized
+                # (reference walks pairs one by one even unmasked,
+                # util.rs:744-791)
+                table = item_tables[slots[0]]
+                if len(ids) > 1:
+                    eids = graph.edge_ids_for_pairs(
+                        ids[:-1], orient[:-1], ids[1:], orient[1:]
+                    )
+                    table.append(num_path, eids)
+                else:
+                    table.close_path(num_path)
             else:
                 _update_tables_edgecount(
                     item_tables[slots[0]],

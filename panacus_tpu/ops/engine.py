@@ -201,40 +201,55 @@ SIM_BLOCK = 1 << 13
 
 
 @jax.jit
-def _sim_block(M_block, weights_block, n_groups_pad: Optional[int] = None):
-    """Pairwise group intersection weights of one item block: an MXU matmul
-    over the unpacked presence matrix (== Similarity::set_table accumulation,
-    reference: src/analyses/similarity.rs:119-150)."""
+def _sim_block_int(M_block, weights_block):
+    """Pairwise group intersection weights of one item block — integer-exact
+    (== Similarity::set_table accumulation, similarity.rs:119-150).
+
+    weights are < 2^16 (hi/lo split done by the caller), so per-block dot
+    products stay < 2^31: int32 accumulation is exact. On MXU hardware the
+    int8/int32 matmul path applies; elsewhere XLA vectorizes it."""
     n_groups = M_block.shape[0] * 32
-    P = unpack_block(M_block, n_groups).astype(jnp.float32)  # [G, B]
-    Pw = P * weights_block.astype(jnp.float32).reshape(1, -1)
+    P = unpack_block(M_block, n_groups)  # [G, B] int32 0/1
+    Pw = P * weights_block.astype(jnp.int32).reshape(1, -1)
     return jax.lax.dot_general(
         P,
         Pw,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
 
 
 def similarity_intersections(
     M: jax.Array, weights: np.ndarray, n_groups: int
 ) -> np.ndarray:
-    """[G, G] weighted co-occurrence counts, accumulated in float64 on host
-    across blocks (per-block f32 matmuls are exact below 2^24)."""
+    """[G, G] weighted co-occurrence counts, exact: weights split into
+    16-bit halves, int32 device matmuls, int64 host accumulation."""
     n_items_pad = M.shape[1]
-    acc = np.zeros((M.shape[0] * 32, M.shape[0] * 32), dtype=np.float64)
-    w = np.asarray(weights)
+    g_pad = M.shape[0] * 32
+    w = np.asarray(weights).astype(np.int64)
+    w_lo = (w & 0xFFFF).astype(np.int32)
+    w_hi = (w >> 16).astype(np.int32)
+    has_hi = bool(w_hi.any())
+    acc_lo = np.zeros((g_pad, g_pad), dtype=np.int64)
+    acc_hi = np.zeros((g_pad, g_pad), dtype=np.int64)
     for a in range(0, n_items_pad, SIM_BLOCK):
         b = min(a + SIM_BLOCK, n_items_pad)
-        wb = np.zeros(SIM_BLOCK, dtype=np.float32)
-        wb[: b - a] = w[a:b]
         Mb = jax.lax.dynamic_slice(
             M, (0, a), (M.shape[0], min(SIM_BLOCK, n_items_pad - a))
         )
         if Mb.shape[1] < SIM_BLOCK:
             Mb = jnp.pad(Mb, ((0, 0), (0, SIM_BLOCK - Mb.shape[1])))
-        acc += np.asarray(_sim_block(Mb, jnp.asarray(wb)), dtype=np.float64)
-    return acc[:n_groups, :n_groups]
+        wb = np.zeros(SIM_BLOCK, dtype=np.int32)
+        wb[: b - a] = w_lo[a:b]
+        acc_lo += np.asarray(_sim_block_int(Mb, jnp.asarray(wb)), dtype=np.int64)
+        if has_hi:
+            wb2 = np.zeros(SIM_BLOCK, dtype=np.int32)
+            wb2[: b - a] = w_hi[a:b]
+            acc_hi += np.asarray(
+                _sim_block_int(Mb, jnp.asarray(wb2)), dtype=np.int64
+            )
+    total = acc_lo + (acc_hi << 16)
+    return total[:n_groups, :n_groups].astype(np.float64)
 
 
 # -- engine façade -------------------------------------------------------------
@@ -265,12 +280,31 @@ class CountingEngine:
         return self
 
     def build_from_host_matrix(self, M_host: np.ndarray):
-        """Adopt a host-assembled packed membership matrix (one upload)."""
+        """Adopt a host-assembled packed membership matrix (one upload).
+
+        With multiple devices visible, M is placed sharded over its item
+        axis (NamedSharding); every downstream op is elementwise or an
+        item-reduction, so GSPMD partitions them automatically and merges
+        the tiny outputs with all-reduces over ICI."""
         assert M_host.shape == (self.n_words, self.n_items_pad), (
             M_host.shape,
             (self.n_words, self.n_items_pad),
         )
-        self.M = jnp.asarray(M_host)
+        devs = jax.devices()
+        n_dev = len(devs)
+        if n_dev > 1 and self.n_items_pad % n_dev == 0:
+            from jax.sharding import (
+                Mesh,
+                NamedSharding,
+                PartitionSpec as P,
+            )
+
+            mesh = Mesh(np.array(devs), ("items",))
+            self.M = jax.device_put(
+                M_host, NamedSharding(mesh, P(None, "items"))
+            )
+        else:
+            self.M = jnp.asarray(M_host)
         return self
 
     def coverage(self) -> np.ndarray:

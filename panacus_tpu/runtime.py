@@ -30,11 +30,34 @@ def effective_threads() -> int:
     return os.cpu_count() or 1
 
 
+def configure_host_memory() -> None:
+    """Keep freed large blocks in the process heap instead of returning them
+    to the OS (glibc mallopt). On ballooned/lazy-memory VMs (firecracker
+    with free-page reporting), every fresh private-anon page fault can cost
+    ~0.3 ms — 12 MB/s effective — while reused heap pages are full speed.
+    Without this, each large numpy temp re-faults its pages and the host
+    parser runs ~20x slower."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
+        M_TRIM_THRESHOLD = -1
+        M_MMAP_THRESHOLD = -3
+        M_MMAP_MAX = -4
+        libc.mallopt(M_MMAP_MAX, 0)
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception as e:  # pragma: no cover
+        log.debug("mallopt tuning unavailable: %s", e)
+
+
 def configure_jax() -> None:
     global _CONFIGURED
     if _CONFIGURED:
         return
     _CONFIGURED = True
+    configure_host_memory()
     cache_dir = os.environ.get(
         "PANACUS_TPU_JAX_CACHE",
         os.path.join(
