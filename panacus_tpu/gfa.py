@@ -117,11 +117,22 @@ def _read_all(gfa_file: str) -> bytes:
 def _parse_ints_from_spans(
     buf: np.ndarray, starts: np.ndarray, ends: np.ndarray
 ) -> Optional[np.ndarray]:
-    """Vectorized decimal parse of byte spans [start, end). Returns None if any
-    span contains a non-digit or is empty."""
+    """Decimal parse of byte spans [start, end). Returns None if any span
+    contains a non-digit or is empty. Native single-pass when available,
+    numpy digit-position passes otherwise."""
     n = len(starts)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if n >= 1024:
+        from .native import parse_int_spans
+
+        lens = ends - starts
+        if (lens > 0).all() and lens.max() <= 18:
+            res = parse_int_spans(buf, starts, ends)
+            if res is not None:
+                return res
+        else:
+            return None
     lens = ends - starts
     if (lens <= 0).any():
         return None

@@ -71,6 +71,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_parse_walk_lg.argtypes = [u8p, i64, i64p, u8p]
     lib.pt_or_row_bplen.restype = ctypes.c_uint64
     lib.pt_or_row_bplen.argtypes = [u32p, ctypes.c_uint32, i64p, i64, u32p, i64]
+    lib.pt_parse_int_spans.restype = i64
+    lib.pt_parse_int_spans.argtypes = [u8p, i64p, i64p, i64, i64p]
     return lib
 
 
@@ -87,6 +89,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def _as_u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def parse_int_spans(buf, starts, ends):
+    """C batch parse of integers at [starts[i], ends[i]). Returns int64
+    array or None (unavailable / non-integer content)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(starts)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    rc = lib.pt_parse_int_spans(
+        _as_u8p(buf),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def parse_path_tokens(

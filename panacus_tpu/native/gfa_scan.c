@@ -88,6 +88,26 @@ EXPORT int64_t pt_parse_walk_lg(
     return n;
 }
 
+/* Parse n decimal integers at byte spans [starts[i], ends[i]).
+ * Returns 0, or -1 if any span is empty/non-digit/too long. */
+EXPORT int64_t pt_parse_int_spans(
+    const uint8_t* buf, const int64_t* starts, const int64_t* ends,
+    int64_t n, int64_t* out)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int64_t a = starts[i], b = ends[i];
+        if (b <= a || b - a > 18) return -1;
+        int64_t v = 0;
+        for (int64_t j = a; j < b; j++) {
+            uint8_t c = buf[j];
+            if (c < '0' || c > '9') return -1;
+            v = v * 10 + (c - '0');
+        }
+        out[i] = v;
+    }
+    return 0;
+}
+
 /* OR one group's bit into a membership-matrix row for every visited item,
  * skipping out-of-range ids; returns the bp sum over node_lens. */
 EXPORT uint64_t pt_or_row_bplen(
