@@ -76,15 +76,23 @@ class GraphBroker:
         if self.state is not None:
             prev = self.state
             self.state = None
-            if prev.graph != state.graph:
+            graph_changed = prev.graph != state.graph
+            if graph_changed:
                 self._load_graph(reqs, nice)
             else:
                 self.input_requirements = set(reqs)
-            if prev.subset != state.subset:
+            # on a graph reload the mask params reset, so re-apply the full
+            # state (the reference only re-applies *changed* fields here and
+            # silently drops an unchanged subset/exclude/grouping after a
+            # graph switch, graph_broker.rs:102-121)
+            if graph_changed or prev.subset != state.subset:
                 self.mask_params.positive_list = state.subset
-            if prev.exclude != state.exclude:
+            if graph_changed or prev.exclude != state.exclude:
                 self.mask_params.negative_list = state.exclude
-            if prev.grouping != state.grouping:
+            if graph_changed or prev.grouping != state.grouping:
+                self.mask_params.groupby = ""
+                self.mask_params.groupby_sample = False
+                self.mask_params.groupby_haplotype = False
                 self._apply_grouping(state.grouping)
         else:
             self._load_graph(reqs, nice)
