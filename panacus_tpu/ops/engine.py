@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import List, Optional, Tuple
 
 from ..runtime import configure_jax
@@ -37,9 +38,10 @@ log = logging.getLogger("panacus")
 
 LANE = 128
 SUBLANE = 8
-ITEM_ALIGN = LANE * SUBLANE  # pad item axis to tile boundary
-CHUNK = 1 << 20  # scatter chunk size (pairs per jit call)
 ORDERED_BLOCK = 1 << 14  # items per block in the scan kernels
+# pad item axis to a tile AND block boundary so blocked scans reshape evenly
+ITEM_ALIGN = ORDERED_BLOCK
+CHUNK = 1 << 20  # scatter chunk size (pairs per jit call)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -164,6 +166,39 @@ def _ordered_growth_block(M_block, weights_block, thr_table, c_min: int):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _ordered_growth_all(M, weights, thr_table, c_min: int, n_blocks: int):
+    """Single-dispatch ordered growth: lax.map over item blocks (one XLA
+    program — dispatch latency matters on tunneled TPU backends)."""
+    n_words, n_items_pad = M.shape
+    B = n_items_pad // n_blocks
+    Mb = M.reshape(n_words, n_blocks, B).transpose(1, 0, 2)
+    Wb = weights.reshape(n_blocks, B)
+
+    def body(args):
+        mb, wb = args
+        return _ordered_growth_block_body(mb, wb, thr_table, c_min)
+
+    # [n_blocks, n_groups] int32 — summed on host in int64 (per-block
+    # partials are < 2^31; the grand total may not be)
+    return jax.lax.map(body, (Mb, Wb))
+
+
+def _ordered_growth_block_body(M_block, weights_block, thr_table, c_min: int):
+    n_groups = thr_table.shape[0] - 1
+    P = unpack_block(M_block, n_groups)  # [G, B]
+    cum = jnp.cumsum(P, axis=0, dtype=jnp.int32)
+    gidx = jnp.arange(n_groups, dtype=jnp.int32).reshape(-1, 1)
+    lp = jax.lax.cummax(jnp.where(P > 0, gidx, -1), axis=0)
+    thr = thr_table[lp + 1]
+    total = cum[-1]
+    ok = (cum >= thr) & (cum >= 1) & (total >= c_min).reshape(1, -1)
+    return jnp.sum(
+        ok.astype(jnp.int32) * weights_block.astype(jnp.int32).reshape(1, -1),
+        axis=1,
+    )
+
+
 def ordered_growth(
     M: jax.Array,
     weights: np.ndarray,
@@ -177,22 +212,13 @@ def ordered_growth(
     thr[0] = np.iinfo(np.int32).max  # lp == -1 -> never passes
     for g in range(n_groups):
         thr[g + 1] = int(np.ceil((g + 1) * quorum_rel))
-    thr_dev = jnp.asarray(thr)
-    res = np.zeros(n_groups, dtype=np.int64)
-    w = np.asarray(weights)
-    for a in range(0, n_items_pad, ORDERED_BLOCK):
-        b = min(a + ORDERED_BLOCK, n_items_pad)
-        wb = np.zeros(ORDERED_BLOCK, dtype=np.int32)
-        wb[: b - a] = w[a:b]
-        Mb = jax.lax.dynamic_slice(
-            M, (0, a), (M.shape[0], min(ORDERED_BLOCK, n_items_pad - a))
-        )
-        if Mb.shape[1] < ORDERED_BLOCK:
-            Mb = jnp.pad(Mb, ((0, 0), (0, ORDERED_BLOCK - Mb.shape[1])))
-        res += np.asarray(
-            _ordered_growth_block(Mb, jnp.asarray(wb), thr_dev, c_min)
-        )
-    return res
+    n_blocks = max(n_items_pad // ORDERED_BLOCK, 1)
+    w = np.zeros(n_items_pad, dtype=np.int32)
+    w[: len(weights)] = weights
+    partials = _ordered_growth_all(
+        M, jnp.asarray(w), jnp.asarray(thr), c_min, n_blocks
+    )
+    return np.asarray(partials).astype(np.int64).sum(axis=0)
 
 
 # -- similarity ----------------------------------------------------------------
@@ -219,36 +245,53 @@ def _sim_block_int(M_block, weights_block):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sim_all(M, weights, n_blocks: int):
+    """Single-dispatch similarity: lax.scan over item blocks, int32-exact
+    per block. The running sum is carried as two int32 planes (low/high
+    16-bit halves of each block partial) so totals up to 2^47 stay exact
+    without int64 support; recombined on the host."""
+    n_words, n_items_pad = M.shape
+    B = n_items_pad // n_blocks
+    Mb = M.reshape(n_words, n_blocks, B).transpose(1, 0, 2)
+    Wb = weights.reshape(n_blocks, B)
+    g_pad = n_words * 32
+    init = (
+        jnp.zeros((g_pad, g_pad), jnp.int32),
+        jnp.zeros((g_pad, g_pad), jnp.int32),
+    )
+
+    def step(carry, args):
+        mb, wb = args
+        p = _sim_block_int(mb, wb)
+        lo, hi = carry
+        return (lo + (p & 0xFFFF), hi + (p >> 16)), None
+
+    (lo, hi), _ = jax.lax.scan(step, init, (Mb, Wb))
+    return lo, hi
+
+
 def similarity_intersections(
     M: jax.Array, weights: np.ndarray, n_groups: int
 ) -> np.ndarray:
     """[G, G] weighted co-occurrence counts, exact: weights split into
     16-bit halves, int32 device matmuls, int64 host accumulation."""
     n_items_pad = M.shape[1]
-    g_pad = M.shape[0] * 32
-    w = np.asarray(weights).astype(np.int64)
+    w = np.zeros(n_items_pad, dtype=np.int64)
+    w[: len(weights)] = np.asarray(weights).astype(np.int64)
     w_lo = (w & 0xFFFF).astype(np.int32)
     w_hi = (w >> 16).astype(np.int32)
-    has_hi = bool(w_hi.any())
-    acc_lo = np.zeros((g_pad, g_pad), dtype=np.int64)
-    acc_hi = np.zeros((g_pad, g_pad), dtype=np.int64)
-    for a in range(0, n_items_pad, SIM_BLOCK):
-        b = min(a + SIM_BLOCK, n_items_pad)
-        Mb = jax.lax.dynamic_slice(
-            M, (0, a), (M.shape[0], min(SIM_BLOCK, n_items_pad - a))
+    n_blocks = max(n_items_pad // SIM_BLOCK, 1)
+
+    def run(wv):
+        lo, hi = _sim_all(M, jnp.asarray(wv), n_blocks)
+        return np.asarray(lo).astype(np.int64) + (
+            np.asarray(hi).astype(np.int64) << 16
         )
-        if Mb.shape[1] < SIM_BLOCK:
-            Mb = jnp.pad(Mb, ((0, 0), (0, SIM_BLOCK - Mb.shape[1])))
-        wb = np.zeros(SIM_BLOCK, dtype=np.int32)
-        wb[: b - a] = w_lo[a:b]
-        acc_lo += np.asarray(_sim_block_int(Mb, jnp.asarray(wb)), dtype=np.int64)
-        if has_hi:
-            wb2 = np.zeros(SIM_BLOCK, dtype=np.int32)
-            wb2[: b - a] = w_hi[a:b]
-            acc_hi += np.asarray(
-                _sim_block_int(Mb, jnp.asarray(wb2)), dtype=np.int64
-            )
-    total = acc_lo + (acc_hi << 16)
+
+    total = run(w_lo)
+    if w_hi.any():
+        total = total + (run(w_hi) << 16)
     return total[:n_groups, :n_groups].astype(np.float64)
 
 
@@ -333,7 +376,12 @@ class CountingEngine:
 
         platform = jax.devices()[0].platform
         try:
-            if platform in ("tpu", "axon"):
+            if platform in ("tpu", "axon") and os.environ.get(
+                "PANACUS_TPU_PALLAS_HIST"
+            ):
+                # measured on TPU v5e: XLA's fused popcount+one-hot beats the
+                # hand-written pallas kernel ~20x (31.9ms vs 625ms on a 50MB
+                # matrix) — the pallas path stays opt-in for experimentation
                 from .pallas_kernels import fused_hist_tpu
 
                 h = fused_hist_tpu(self.M, jnp.asarray(w), n_bins)
