@@ -173,7 +173,16 @@ class ItemTable:
     def close_path(self, path_idx: int) -> None:
         self.prefsum[path_idx + 1] = self._count
 
+    def adopt(self, items: np.ndarray, prefsum: np.ndarray) -> None:
+        """Take ownership of fully-built CSR storage (batch tokenizer path)."""
+        self.items = items
+        self.prefsum = prefsum
+        self._count = len(items)
+        self._chunks = None
+
     def finalize(self) -> None:
+        if self._chunks is None:  # already adopted
+            return
         self.items = (
             np.concatenate(self._chunks)
             if self._chunks
@@ -387,6 +396,43 @@ class GraphStorage:
                 seg = PathSegment.from_str(name)
                 self._pw_seq_spans.append((t2 + 1, t3))
             self.path_segments.append(seg)
+
+    def all_path_item_runs(self):
+        """Tokenize EVERY P/W line in one threaded native call.
+
+        Returns (ids, orient, prefsum, bp_per_path) where path i's run is
+        ids[prefsum[i]:prefsum[i+1]] and bp_per_path[i] is its total node
+        length, or None when the native path doesn't apply (non-integer
+        names, no native lib) — callers fall back to path_item_run."""
+        if self._int_name_mode is None or not len(self._pw_starts):
+            return None
+        from .native import tokenize_batch
+        from .runtime import effective_threads
+
+        spans = np.asarray(self._pw_seq_spans, dtype=np.int64)
+        if self._int_name_mode == "identity":
+            return tokenize_batch(
+                self._buf,
+                spans[:, 0],
+                spans[:, 1],
+                self._pw_is_walk,
+                mode=1,
+                n_items=self.node_count,
+                node_lens=self.node_lens,
+                n_threads=effective_threads(),
+            )
+        return tokenize_batch(
+            self._buf,
+            spans[:, 0],
+            spans[:, 1],
+            self._pw_is_walk,
+            mode=2,
+            n_items=self.node_count,
+            sorted_vals=self._int_sorted,
+            sorted_ids=self._int_sorted_ids,
+            node_lens=self.node_lens,
+            n_threads=effective_threads(),
+        )
 
     def path_item_run(self, path_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Item ids + orientations (0 fwd / 1 bwd) of one P/W line, vectorized.

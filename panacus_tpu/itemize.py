@@ -66,27 +66,106 @@ def itemize_paths(
     has_include = mask.include_coords is not None
     has_exclude = mask.exclude_coords is not None
 
-    # tokenize paths concurrently: the native tokenizer and numpy both
-    # release the GIL, so a thread pool scales on real cores (the
-    # counterpart of the reference's rayon par_split, util.rs:1206-1229)
+    # tokenize paths concurrently: one threaded native batch call writing
+    # straight into contiguous CSR storage when possible, else a thread pool
+    # over per-path tokenization (the counterpart of the reference's rayon
+    # par_split, util.rs:1206-1229)
     from .runtime import effective_threads
 
     n_workers = min(effective_threads(), max(n_paths, 1))
     runs: List = [None] * n_paths
+    batch = None
     if has_include:
         pass  # subset mode: tokenize lazily, skipped paths are never parsed
-    elif n_workers > 1 and n_paths > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            for i, r in zip(
-                range(n_paths),
-                ex.map(graph.path_item_run, range(n_paths)),
-            ):
-                runs[i] = r
     else:
-        for i in range(n_paths):
-            runs[i] = graph.path_item_run(i)
+        batch = graph.all_path_item_runs()
+        if batch is None:
+            if n_workers > 1 and n_paths > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                    for i, r in zip(
+                        range(n_paths),
+                        ex.map(graph.path_item_run, range(n_paths)),
+                    ):
+                        runs[i] = r
+            else:
+                for i in range(n_paths):
+                    runs[i] = graph.path_item_run(i)
+
+    if batch is not None and not has_exclude:
+        # zero-copy shortcut: no masks at all -> the batch CSR IS the item
+        # table; edges pair up vectorized across every path at once
+        b_ids, b_orient, b_pref, b_bp = batch
+        counts = np.diff(b_pref)
+        any_non_edge = False
+        for eff_count, slots in slot_of.items():
+            table = item_tables[slots[0]]
+            if eff_count != CountType.EDGE:
+                any_non_edge = True
+                table.adopt(b_ids, b_pref)
+            elif len(b_ids):
+                from .native import lookup_edges
+                from .runtime import effective_threads
+
+                res = (
+                    lookup_edges(
+                        b_ids,
+                        b_orient,
+                        b_pref,
+                        graph._edge_keys_sorted,
+                        graph._edge_ids_sorted,
+                        effective_threads(),
+                    )
+                    if graph._edge_keys_sorted is not None
+                    else None
+                )
+                if res is not None:
+                    table.adopt(*res)
+                else:
+                    nz = counts > 0
+                    keep = np.ones(len(b_ids), dtype=bool)
+                    keep[b_pref[1:][nz] - 1] = False
+                    idx = np.flatnonzero(keep)
+                    eids = graph.edge_ids_for_pairs(
+                        b_ids[idx],
+                        b_orient[idx],
+                        b_ids[idx + 1],
+                        b_orient[idx + 1],
+                    )
+                    e_pref = np.zeros(n_paths + 1, dtype=np.int64)
+                    np.cumsum(np.maximum(counts, 1) - 1, out=e_pref[1:])
+                    table.adopt(eids, e_pref)
+            else:
+                table.adopt(np.zeros(0, np.int64), b_pref.copy())
+        if any_non_edge:
+            for i, path_seg in enumerate(graph.path_segments):
+                paths_len[path_seg] = (int(counts[i]), int(b_bp[i]))
+        for t in item_tables:
+            t.finalize()
+        for eff_count, slots in slot_of.items():
+            for extra in slots[1:]:
+                item_tables[extra].items = item_tables[slots[0]].items
+                item_tables[extra].prefsum = item_tables[slots[0]].prefsum
+        return ItemizeResult(
+            item_tables, exclude_tables, subset_covered_bps, paths_len
+        )
+
+    if batch is not None:
+        b_ids, b_orient, b_pref, _ = batch
+
+        def _run_of(i):
+            a, b = b_pref[i], b_pref[i + 1]
+            return b_ids[a:b], b_orient[a:b]
+
+    else:
+
+        def _run_of(i):
+            if runs[i] is not None:
+                r = runs[i]
+                runs[i] = None
+                return r
+            return graph.path_item_run(i)
 
     for num_path, path_seg in enumerate(graph.path_segments):
         include_coords = (
@@ -109,11 +188,7 @@ def itemize_paths(
                 t.close_path(num_path)
             continue
 
-        if runs[num_path] is not None:
-            ids, orient = runs[num_path]
-            runs[num_path] = None
-        else:
-            ids, orient = graph.path_item_run(num_path)
+        ids, orient = _run_of(num_path)
 
         for eff_count, slots in slot_of.items():
             exs = [exclude_tables[i] for i in slots]

@@ -45,6 +45,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             "-O3",
             "-shared",
             "-fPIC",
+            "-pthread",
             "-fvisibility=hidden",
             _SRC,
             "-o",
@@ -73,6 +74,31 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_or_row_bplen.argtypes = [u32p, ctypes.c_uint32, i64p, i64, u32p, i64]
     lib.pt_parse_int_spans.restype = i64
     lib.pt_parse_int_spans.argtypes = [u8p, i64p, i64p, i64, i64p]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.pt_tokenize_batch.restype = i64
+    lib.pt_count_tokens.restype = i64
+    lib.pt_count_tokens.argtypes = [
+        u8p, i64p, i64p, u8p, i64, i64p, i64p, ctypes.c_int32,
+    ]
+    lib.pt_lookup_edges.restype = i64
+    lib.pt_lookup_edges.argtypes = [
+        i64p, u8p,       # ids, orient
+        i64p, i64,       # prefsum, n_paths
+        u64p, i64p, i64,  # keys_sorted, eids_sorted, n_edges
+        i64p, i64p,      # out_eids, out_pref
+        ctypes.c_int32,  # n_threads
+    ]
+    lib.pt_tokenize_batch.argtypes = [
+        u8p,            # buf
+        i64p, i64p, u8p,  # starts, ends, walk
+        i64,            # n_spans
+        i64p, i64p,     # prefsum, counts
+        i64p, u8p, i64,  # out_ids, out_orient, cap_ids
+        ctypes.c_int32, i64,  # mode, n_items
+        i64p, i64p, i64,  # sorted_vals, sorted_ids, n_sorted
+        u32p, u64p,     # node_lens, bp_out
+        ctypes.c_int32,  # n_threads
+    ]
     return lib
 
 
@@ -113,6 +139,146 @@ def parse_int_spans(buf, starts, ends):
     if rc != 0:
         return None
     return out
+
+
+_NULL_I64 = None
+_NULL_U32 = None
+_NULL_U64 = None
+
+
+def tokenize_batch(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    walk: np.ndarray,
+    mode: int,
+    n_items: int,
+    sorted_vals: Optional[np.ndarray] = None,
+    sorted_ids: Optional[np.ndarray] = None,
+    node_lens: Optional[np.ndarray] = None,
+    n_threads: int = 0,
+):
+    """Tokenize all path/walk spans in one threaded C call.
+
+    Returns (ids int64[N], orient uint8[N], prefsum int64[n+1],
+    bp uint64[n] or None) or None when the native lib is unavailable or any
+    span is malformed / contains an unknown name (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(starts)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    w = np.ascontiguousarray(walk, dtype=np.uint8)
+    prefsum = np.zeros(n + 1, dtype=np.int64)
+    counts = np.zeros(max(n, 1), dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    i64p_ = ctypes.POINTER(ctypes.c_int64)
+    cap = int(
+        lib.pt_count_tokens(
+            _as_u8p(buf),
+            s.ctypes.data_as(i64p_),
+            e.ctypes.data_as(i64p_),
+            _as_u8p(w),
+            ctypes.c_int64(n),
+            prefsum.ctypes.data_as(i64p_),
+            counts.ctypes.data_as(i64p_),
+            ctypes.c_int32(n_threads),
+        )
+    )
+    ids = np.empty(cap, dtype=np.int64)
+    orient = np.empty(cap, dtype=np.uint8)
+    bp = np.zeros(max(n, 1), dtype=np.uint64) if node_lens is not None else None
+    sv = (
+        sorted_vals.ctypes.data_as(i64p)
+        if sorted_vals is not None
+        else ctypes.cast(None, i64p)
+    )
+    si = (
+        sorted_ids.ctypes.data_as(i64p)
+        if sorted_ids is not None
+        else ctypes.cast(None, i64p)
+    )
+    nl = (
+        np.ascontiguousarray(node_lens, dtype=np.uint32).ctypes.data_as(u32p)
+        if node_lens is not None
+        else ctypes.cast(None, u32p)
+    )
+    rc = lib.pt_tokenize_batch(
+        _as_u8p(buf),
+        s.ctypes.data_as(i64p),
+        e.ctypes.data_as(i64p),
+        _as_u8p(w),
+        ctypes.c_int64(n),
+        prefsum.ctypes.data_as(i64p),
+        counts.ctypes.data_as(i64p),
+        ids.ctypes.data_as(i64p),
+        _as_u8p(orient),
+        ctypes.c_int64(cap),
+        ctypes.c_int32(mode),
+        ctypes.c_int64(n_items),
+        sv,
+        si,
+        ctypes.c_int64(len(sorted_vals) if sorted_vals is not None else 0),
+        nl,
+        bp.ctypes.data_as(u64p) if bp is not None else ctypes.cast(None, u64p),
+        ctypes.c_int32(n_threads),
+    )
+    if rc < 0:
+        return None
+    return ids[:rc], orient[:rc], prefsum, bp
+
+
+def lookup_edges(
+    ids: np.ndarray,
+    orient: np.ndarray,
+    prefsum: np.ndarray,
+    keys_sorted: np.ndarray,
+    eids_sorted: np.ndarray,
+    n_threads: int = 0,
+):
+    """Canonical edge-id lookup for every consecutive pair of every path,
+    threaded, no temporaries. Returns (eids int64[E], e_pref int64[n+1]) or
+    None (native unavailable); raises ValueError on an unknown edge."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n_paths = len(prefsum) - 1
+    counts = np.diff(prefsum)
+    e_pref = np.zeros(n_paths + 1, dtype=np.int64)
+    np.cumsum(np.maximum(counts, 1) - 1, out=e_pref[1:])
+    out = np.empty(int(e_pref[-1]), dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    ids_c = np.ascontiguousarray(ids, dtype=np.int64)
+    or_c = np.ascontiguousarray(orient, dtype=np.uint8)
+    pf_c = np.ascontiguousarray(prefsum, dtype=np.int64)
+    ks_c = np.ascontiguousarray(keys_sorted, dtype=np.uint64)
+    es_c = np.ascontiguousarray(eids_sorted, dtype=np.int64)
+    rc = lib.pt_lookup_edges(
+        ids_c.ctypes.data_as(i64p),
+        _as_u8p(or_c),
+        pf_c.ctypes.data_as(i64p),
+        ctypes.c_int64(n_paths),
+        ks_c.ctypes.data_as(u64p),
+        es_c.ctypes.data_as(i64p),
+        ctypes.c_int64(len(ks_c)),
+        out.ctypes.data_as(i64p),
+        e_pref.ctypes.data_as(i64p),
+        ctypes.c_int32(n_threads),
+    )
+    if rc < 0:
+        k = -rc - 1
+        raise ValueError(
+            f"unknown edge between segments {ids_c[k]} and {ids_c[k + 1]}"
+        )
+    return out, e_pref
 
 
 def parse_path_tokens(

@@ -10,6 +10,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <pthread.h>
 
 #define EXPORT __attribute__((visibility("default")))
 
@@ -106,6 +107,295 @@ EXPORT int64_t pt_parse_int_spans(
         out[i] = v;
     }
     return 0;
+}
+
+/* ---- batch tokenizer -----------------------------------------------------
+ *
+ * Tokenize MANY path/walk spans in one call, writing ids directly into one
+ * contiguous output array (the final ItemTable storage — no intermediate
+ * per-path buffers, no concatenate). Two phases, both parallel over spans:
+ *   A) count tokens per span (separator scan)
+ *   B) parse digits, map names to ids, accumulate bp length
+ * Name mapping modes: 0 = raw values, 1 = identity (ids are 1..n_items),
+ * 2 = sorted-table binary search. Replaces the per-path driver loop of the
+ * reference's rayon itemizer (src/graph_broker/util.rs:1048-1142).
+ */
+
+typedef struct {
+    const uint8_t* buf;
+    const int64_t* starts;
+    const int64_t* ends;
+    const uint8_t* walk;
+    int64_t n_spans;
+    int64_t* prefsum;   /* n_spans + 1, filled between phases */
+    int64_t* counts;    /* scratch, n_spans */
+    int64_t* out_ids;
+    uint8_t* out_orient;
+    int32_t mode;
+    int64_t n_items;
+    const int64_t* sorted_vals;
+    const int64_t* sorted_ids;
+    int64_t n_sorted;
+    const uint32_t* node_lens;
+    uint64_t* bp_out;   /* n_spans or NULL */
+    int64_t err;        /* 0 ok, else -(span_idx+1) of first failure */
+    int64_t next;       /* work-stealing cursor (guarded by lock) */
+    int phase;
+    pthread_mutex_t lock;
+} batch_ctx;
+
+static int64_t grab_span(batch_ctx* c)
+{
+    pthread_mutex_lock(&c->lock);
+    int64_t i = c->next < c->n_spans && !c->err ? c->next++ : -1;
+    pthread_mutex_unlock(&c->lock);
+    return i;
+}
+
+static void set_err(batch_ctx* c, int64_t span)
+{
+    pthread_mutex_lock(&c->lock);
+    if (!c->err || -(span + 1) > c->err) c->err = -(span + 1);
+    pthread_mutex_unlock(&c->lock);
+}
+
+static void count_span(batch_ctx* c, int64_t k)
+{
+    const uint8_t* s = c->buf;
+    int64_t a = c->starts[k], b = c->ends[k];
+    int64_t n = 0;
+    if (c->walk[k]) {
+        for (int64_t i = a; i < b; i++)
+            n += (s[i] == '>') | (s[i] == '<');
+    } else if (b > a) {
+        n = 1;
+        for (int64_t i = a; i < b; i++)
+            n += (s[i] == ',');
+    }
+    c->counts[k] = n;
+}
+
+static int parse_span(batch_ctx* c, int64_t k)
+{
+    const uint8_t* s = c->buf;
+    int64_t a = c->starts[k], b = c->ends[k];
+    int64_t* ids = c->out_ids + c->prefsum[k];
+    uint8_t* orient = c->out_orient + c->prefsum[k];
+    int64_t cnt;
+    if (c->walk[k]) {
+        cnt = pt_parse_walk_lg(s + a, b - a, ids, orient);
+    } else if (b > a) {
+        cnt = pt_parse_path_pm(s + a, b - a, ids, orient);
+    } else {
+        cnt = 0;
+    }
+    if (cnt != c->prefsum[k + 1] - c->prefsum[k]) return -1;
+    uint64_t bp = 0;
+    if (c->mode == 1) {
+        for (int64_t i = 0; i < cnt; i++) {
+            int64_t v = ids[i];
+            if (v < 1 || v > c->n_items) return -1;
+            if (c->node_lens) bp += c->node_lens[v];
+        }
+    } else if (c->mode == 2) {
+        for (int64_t i = 0; i < cnt; i++) {
+            int64_t v = ids[i];
+            int64_t lo = 0, hi = c->n_sorted;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (c->sorted_vals[mid] < v) lo = mid + 1;
+                else hi = mid;
+            }
+            if (lo >= c->n_sorted || c->sorted_vals[lo] != v) return -1;
+            ids[i] = c->sorted_ids[lo];
+            if (c->node_lens) bp += c->node_lens[ids[i]];
+        }
+    } else if (c->node_lens) {
+        for (int64_t i = 0; i < cnt; i++) {
+            int64_t v = ids[i];
+            if (v < 1 || v > c->n_items) return -1;
+            bp += c->node_lens[v];
+        }
+    }
+    if (c->bp_out) c->bp_out[k] = bp;
+    return 0;
+}
+
+static void* batch_worker(void* arg)
+{
+    batch_ctx* c = (batch_ctx*)arg;
+    int64_t k;
+    while ((k = grab_span(c)) >= 0) {
+        if (c->phase == 0) {
+            count_span(c, k);
+        } else if (parse_span(c, k) != 0) {
+            set_err(c, k);
+        }
+    }
+    return NULL;
+}
+
+static void run_phase(batch_ctx* c, int phase, int32_t n_threads)
+{
+    c->phase = phase;
+    c->next = 0;
+    if (n_threads > c->n_spans) n_threads = (int32_t)c->n_spans;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        batch_worker(c);
+        return;
+    }
+    pthread_t tids[64];
+    if (n_threads > 64) n_threads = 64;
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++) {
+        if (pthread_create(&tids[t], NULL, batch_worker, c) == 0) spawned++;
+        else break;
+    }
+    batch_worker(c);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+}
+
+/* Phase A standalone: count tokens per span (threaded separator scan) and
+ * fill prefsum; returns the total so the caller can allocate exactly. */
+EXPORT int64_t pt_count_tokens(
+    const uint8_t* buf,
+    const int64_t* starts, const int64_t* ends, const uint8_t* walk,
+    int64_t n_spans, int64_t* prefsum, int64_t* counts, int32_t n_threads)
+{
+    batch_ctx c = {
+        buf, starts, ends, walk, n_spans, prefsum, counts,
+        NULL, NULL, 0, 0, NULL, NULL, 0, NULL, NULL,
+        0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    run_phase(&c, 0, n_threads);
+    int64_t tot = 0;
+    prefsum[0] = 0;
+    for (int64_t k = 0; k < n_spans; k++) {
+        tot += counts[k];
+        prefsum[k + 1] = tot;
+    }
+    return tot;
+}
+
+/* Phase B: parse into exactly-sized output at the offsets in prefsum
+ * (from pt_count_tokens). Returns total token count (>= 0) on success, or
+ * -(span_idx+1) on the first malformed span / unknown name. */
+EXPORT int64_t pt_tokenize_batch(
+    const uint8_t* buf,
+    const int64_t* starts, const int64_t* ends, const uint8_t* walk,
+    int64_t n_spans,
+    int64_t* prefsum, int64_t* counts,
+    int64_t* out_ids, uint8_t* out_orient, int64_t cap_ids,
+    int32_t mode, int64_t n_items,
+    const int64_t* sorted_vals, const int64_t* sorted_ids, int64_t n_sorted,
+    const uint32_t* node_lens, uint64_t* bp_out,
+    int32_t n_threads)
+{
+    batch_ctx c = {
+        buf, starts, ends, walk, n_spans, prefsum, counts,
+        out_ids, out_orient, mode, n_items,
+        sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
+        0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    int64_t tot = prefsum[n_spans];
+    if (tot > cap_ids) return -1000000000 - tot;
+    run_phase(&c, 1, n_threads);
+    if (c.err) return c.err;
+    return tot;
+}
+
+/* ---- edge-id lookup ------------------------------------------------------
+ *
+ * Map consecutive oriented node pairs of every path to canonical edge ids
+ * (reference: Edge::canonical src/graph_broker/graph.rs:142-148 + the
+ * pair walk of update_tables_edgecount util.rs:723-795) in one threaded
+ * pass: no numpy temporaries, one binary search per pair into the sorted
+ * canonical key table. out_pref[p]..out_pref[p+1] delimits path p's edge
+ * run; out_pref must be precomputed as cumsum(max(counts,1)-1).
+ */
+
+typedef struct {
+    const int64_t* ids;
+    const uint8_t* orient;
+    const int64_t* prefsum;
+    int64_t n_paths;
+    const uint64_t* keys_sorted;
+    const int64_t* eids_sorted;
+    int64_t n_edges;
+    int64_t* out_eids;
+    const int64_t* out_pref;
+    int64_t err;
+    int64_t next;
+    pthread_mutex_t lock;
+} edge_ctx;
+
+static void* edge_worker(void* arg)
+{
+    edge_ctx* c = (edge_ctx*)arg;
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t p = (c->next < c->n_paths && !c->err) ? c->next++ : -1;
+        pthread_mutex_unlock(&c->lock);
+        if (p < 0) return NULL;
+        int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
+        int64_t* out = c->out_eids + c->out_pref[p];
+        for (int64_t k = a; k + 1 < b; k++) {
+            int64_t u = c->ids[k], v = c->ids[k + 1];
+            uint8_t o1 = c->orient[k], o2 = c->orient[k + 1];
+            uint64_t cu, cv, co1, co2;
+            if (u > v || (u == v && o1)) {
+                cu = (uint64_t)v; co1 = o2 ^ 1u;
+                cv = (uint64_t)u; co2 = o1 ^ 1u;
+            } else {
+                cu = (uint64_t)u; co1 = o1;
+                cv = (uint64_t)v; co2 = o2;
+            }
+            uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
+            int64_t lo = 0, hi = c->n_edges;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (c->keys_sorted[mid] < key) lo = mid + 1;
+                else hi = mid;
+            }
+            if (lo >= c->n_edges || c->keys_sorted[lo] != key) {
+                pthread_mutex_lock(&c->lock);
+                if (!c->err) c->err = -(k + 1);
+                pthread_mutex_unlock(&c->lock);
+                return NULL;
+            }
+            *out++ = c->eids_sorted[lo];
+        }
+    }
+}
+
+/* Returns 0 on success, or -(pair_token_idx+1) of the first unknown edge. */
+EXPORT int64_t pt_lookup_edges(
+    const int64_t* ids, const uint8_t* orient,
+    const int64_t* prefsum, int64_t n_paths,
+    const uint64_t* keys_sorted, const int64_t* eids_sorted, int64_t n_edges,
+    int64_t* out_eids, const int64_t* out_pref, int32_t n_threads)
+{
+    edge_ctx c = {
+        ids, orient, prefsum, n_paths, keys_sorted, eids_sorted, n_edges,
+        out_eids, out_pref, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    if (n_threads > (int32_t)n_paths) n_threads = (int32_t)n_paths;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        edge_worker(&c);
+        return c.err;
+    }
+    pthread_t tids[64];
+    if (n_threads > 64) n_threads = 64;
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++) {
+        if (pthread_create(&tids[t], NULL, edge_worker, &c) == 0) spawned++;
+        else break;
+    }
+    edge_worker(&c);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    return c.err;
 }
 
 /* OR one group's bit into a membership-matrix row for every visited item,

@@ -357,45 +357,44 @@ class CountingEngine:
 
     def hist(self, weights: np.ndarray) -> np.ndarray:
         """Weighted coverage histogram of size n_groups + 1. weights must have
-        length n_items + 1 with weights[0] == 0."""
+        length n_items + 1 with weights[0] == 0. Single device dispatch —
+        popcount coverage and the reduction are fused (every dispatch is a
+        network round trip on tunneled TPU backends)."""
         w = np.zeros(self.n_items_pad, dtype=np.int32)
         w[: self.n_items + 1] = weights
         n_bins = self.n_groups + 2
-        total_w = int(w.astype(np.int64).sum())
-        if total_w < (1 << 24):
-            # f32 one-hot matmul path: exact below 2^24, MXU work on TPU
-            h = self._hist_fast(w, n_bins)
-            if h is not None:
-                return h
-        cov = coverage_from_membership(self.M)
-        h = hist_from_coverage(cov, jnp.asarray(w), n_bins)
+        h = self._hist_dispatch(w, n_bins)
         return np.asarray(h[: self.n_groups + 1]).astype(np.int64)
 
-    def _hist_fast(self, w: np.ndarray, n_bins: int):
-        import jax
+    def _hist_dispatch(self, w: np.ndarray, n_bins: int):
+        from . import pallas_kernels as pk
 
         platform = jax.devices()[0].platform
+        on_tpu = platform in ("tpu", "axon")
         try:
-            if platform in ("tpu", "axon") and os.environ.get(
-                "PANACUS_TPU_PALLAS_HIST"
-            ):
+            if on_tpu and os.environ.get("PANACUS_TPU_PALLAS_HIST"):
                 # measured on TPU v5e: XLA's fused popcount+one-hot beats the
                 # hand-written pallas kernel ~20x (31.9ms vs 625ms on a 50MB
                 # matrix) — the pallas path stays opt-in for experimentation
-                from .pallas_kernels import fused_hist_tpu
-
-                h = fused_hist_tpu(self.M, jnp.asarray(w), n_bins)
-            else:
-                from .pallas_kernels import hist_onehot
-
-                cov = coverage_from_membership(self.M)
-                h = hist_onehot(cov, jnp.asarray(w), n_bins)
+                return pk.fused_hist_tpu(self.M, jnp.asarray(w), n_bins)
+            total_w = int(w.astype(np.int64).sum())
+            if on_tpu:
+                if total_w < (1 << 24):
+                    return pk.fused_hist_onehot(self.M, jnp.asarray(w), n_bins)
+                if int(w.max(initial=0)) < (1 << 24):
+                    return pk.hist_limbs_host(self.M, w, n_bins)
+            if total_w < (1 << 31):
+                # exact int32 scatter: the fast CPU path
+                return pk.fused_hist_scatter(self.M, jnp.asarray(w), n_bins)
+            # giant totals: device popcount + exact f64 host bincount
+            cov = np.asarray(coverage_from_membership(self.M))
+            return np.bincount(
+                cov, weights=w.astype(np.float64), minlength=n_bins
+            )[:n_bins]
         except Exception as e:  # pragma: no cover - lowering fallback
-            log.debug("fast hist path failed (%s); using scatter", e)
-            return None
-        return (
-            np.asarray(h[: self.n_groups + 1]).astype(np.int64)
-        )
+            log.debug("fused hist path failed (%s); using scatter", e)
+            cov = coverage_from_membership(self.M)
+            return hist_from_coverage(cov, jnp.asarray(w), n_bins)
 
     def ordered_growth(
         self, weights: np.ndarray, quorum_rel: float, c_min: int

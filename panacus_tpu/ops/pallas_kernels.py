@@ -95,3 +95,93 @@ def hist_onehot(cov: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array:
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )[0]
+
+
+# -- fused single-dispatch histograms -----------------------------------------
+#
+# On the tunneled TPU backend every dispatch pays a network round trip, so
+# popcount-coverage and the histogram reduction are fused into one program.
+
+
+def _coverage(M):
+    return jnp.sum(
+        jax.lax.population_count(M).astype(jnp.int32), axis=0, dtype=jnp.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def fused_hist_scatter(M, w, n_bins: int):
+    """int32 scatter histogram, exact below 2^31 total weight — the fast CPU
+    path (XLA:CPU lowers the one-hot matmul poorly, ~60x slower than its
+    serial scatter). Callers with larger totals use the limb path or a host
+    bincount."""
+    cov = _coverage(M)
+    return jnp.zeros(n_bins, dtype=jnp.int32).at[cov].add(
+        w.astype(jnp.int32), mode="drop"
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def fused_hist_onehot(M, w, n_bins: int):
+    """f32 one-hot matmul histogram — MXU path, exact while the total weight
+    stays below 2^24 (f32 integer range)."""
+    cov = _coverage(M)
+    onehot = (
+        cov.reshape(-1, 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (cov.shape[0], n_bins), 1)
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        w.astype(jnp.float32).reshape(1, -1),
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+
+HIST_LIMB_BLOCK = 1 << 13
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def fused_hist_limbs(M, w3, n_bins: int):
+    """Exact one-hot histogram for weights up to 2^24: weights are split into
+    three 8-bit limbs host-side (w3[3, n_items]), items are processed in
+    blocks of 2^13 so every f32 dot accumulation stays below 2^13 * 255 <
+    2^24 (exact). Returns per-block limb partials [n_blocks, 3, n_bins] —
+    recombined on the host in int64."""
+    n_words, n_items = M.shape
+    n_blocks = n_items // HIST_LIMB_BLOCK
+    Mb = M.reshape(n_words, n_blocks, HIST_LIMB_BLOCK).transpose(1, 0, 2)
+    Wb = w3.reshape(3, n_blocks, HIST_LIMB_BLOCK).transpose(1, 0, 2)
+
+    def body(args):
+        mb, wb = args
+        cov = _coverage(mb)
+        onehot = (
+            cov.reshape(-1, 1)
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (HIST_LIMB_BLOCK, n_bins), 1
+            )
+        ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            wb,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return jax.lax.map(body, (Mb, Wb))
+
+
+def hist_limbs_host(M, w: "jax.Array", n_bins: int):
+    """Driver for fused_hist_limbs: split uint32 weights into 8-bit limbs,
+    run the single-dispatch blocked kernel, recombine exactly in int64."""
+    import numpy as np
+
+    wi = np.asarray(w).astype(np.int64)
+    w3 = np.empty((3, len(wi)), dtype=np.float32)
+    w3[0] = (wi & 0xFF).astype(np.float32)
+    w3[1] = ((wi >> 8) & 0xFF).astype(np.float32)
+    w3[2] = ((wi >> 16) & 0xFF).astype(np.float32)
+    parts = np.asarray(fused_hist_limbs(M, jnp.asarray(w3), n_bins))
+    acc = parts.astype(np.int64).sum(axis=0)  # [3, n_bins]
+    return acc[0] + (acc[1] << 8) + (acc[2] << 16)
