@@ -102,6 +102,79 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+_NPALLOC = None
+_NPALLOC_TRIED = False
+
+
+def install_hugepage_allocator() -> bool:
+    """Build (cached) + install the hugepage-backed numpy data allocator
+    (native/npalloc.c, PyDataMem_SetHandler). Returns True when active."""
+    global _NPALLOC, _NPALLOC_TRIED
+    if _NPALLOC_TRIED:
+        return _NPALLOC is not None
+    _NPALLOC_TRIED = True
+    if os.environ.get("PANACUS_TPU_NO_HUGEPAGES") == "1":
+        return False
+    src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "npalloc.c"
+    )
+    try:
+        with open(src, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return False
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "panacus_tpu",
+        "native",
+    )
+    so_path = os.path.join(cache_dir, f"panacus_npalloc-{tag}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(cache_dir, exist_ok=True)
+        import sysconfig
+
+        try:
+            import numpy as _np
+
+            np_inc = _np.get_include()
+        except Exception:
+            return False
+        cc = os.environ.get("CC", "cc")
+        cmd = [
+            cc,
+            "-O2",
+            "-shared",
+            "-fPIC",
+            "-pthread",
+            f"-I{sysconfig.get_paths()['include']}",
+            f"-I{np_inc}",
+            src,
+            "-o",
+            so_path + ".tmp",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(so_path + ".tmp", so_path)
+        except Exception as e:
+            log.debug("npalloc build failed (%s)", e)
+            return False
+    try:
+        from importlib.machinery import ExtensionFileLoader
+        from importlib.util import module_from_spec, spec_from_loader
+
+        loader = ExtensionFileLoader("panacus_npalloc", so_path)
+        spec = spec_from_loader("panacus_npalloc", loader)
+        mod = module_from_spec(spec)
+        loader.exec_module(mod)
+        mod.install()
+        _NPALLOC = mod
+        log.debug("hugepage numpy allocator installed")
+        return True
+    except Exception as e:
+        log.debug("npalloc load failed (%s)", e)
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if not _TRIED:
