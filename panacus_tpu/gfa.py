@@ -213,7 +213,15 @@ class GraphStorage:
         buf = np.frombuffer(data, dtype=np.uint8)
         self._buf = buf
 
-        nl = np.flatnonzero(buf == 10)
+        from .native import scan_lines
+        from .runtime import effective_threads
+
+        scanned = scan_lines(buf, effective_threads())
+        if scanned is not None:
+            nl, tabs = scanned
+        else:
+            nl = np.flatnonzero(buf == 10)
+            tabs = np.flatnonzero(buf == 9)
         starts = np.empty(len(nl), dtype=np.int64)
         if len(nl):
             starts[0] = 0
@@ -226,8 +234,6 @@ class GraphStorage:
         first = buf[starts]
         self._line_starts = starts
         self._line_ends = ends
-
-        tabs = np.flatnonzero(buf == 9)
         self._tabs = tabs
 
         is_s = first == ord("S")

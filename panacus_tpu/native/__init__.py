@@ -76,6 +76,12 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_parse_int_spans.argtypes = [u8p, i64p, i64p, i64, i64p]
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.pt_tokenize_batch.restype = i64
+    lib.pt_scan_count.restype = None
+    lib.pt_scan_count.argtypes = [u8p, i64, i64, i64p, ctypes.c_int32]
+    lib.pt_scan_fill.restype = None
+    lib.pt_scan_fill.argtypes = [
+        u8p, i64, i64, i64p, i64p, i64p, i64p, ctypes.c_int32,
+    ]
     lib.pt_count_tokens.restype = i64
     lib.pt_count_tokens.argtypes = [
         u8p, i64p, i64p, u8p, i64, i64p, i64p, ctypes.c_int32,
@@ -304,6 +310,45 @@ def tokenize_batch(
     if rc < 0:
         return None
     return ids[:rc], orient[:rc], prefsum, bp
+
+
+def scan_lines(buf: np.ndarray, n_threads: int = 0):
+    """One threaded pass over the GFA buffer collecting newline and tab
+    positions. Returns (nl int64[], tabs int64[]) or None (no native lib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(buf)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    n_ranges = max(n_threads * 4, 1)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    counts = np.zeros(2 * n_ranges, dtype=np.int64)
+    lib.pt_scan_count(
+        _as_u8p(buf),
+        ctypes.c_int64(n),
+        ctypes.c_int64(n_ranges),
+        counts.ctypes.data_as(i64p),
+        ctypes.c_int32(n_threads),
+    )
+    nl_counts, tab_counts = counts[:n_ranges], counts[n_ranges:]
+    nl_off = np.zeros(n_ranges, dtype=np.int64)
+    tab_off = np.zeros(n_ranges, dtype=np.int64)
+    np.cumsum(nl_counts[:-1], out=nl_off[1:])
+    np.cumsum(tab_counts[:-1], out=tab_off[1:])
+    nl = np.empty(int(nl_counts.sum()), dtype=np.int64)
+    tabs = np.empty(int(tab_counts.sum()), dtype=np.int64)
+    lib.pt_scan_fill(
+        _as_u8p(buf),
+        ctypes.c_int64(n),
+        ctypes.c_int64(n_ranges),
+        nl_off.ctypes.data_as(i64p),
+        tab_off.ctypes.data_as(i64p),
+        nl.ctypes.data_as(i64p),
+        tabs.ctypes.data_as(i64p),
+        ctypes.c_int32(n_threads),
+    )
+    return nl, tabs
 
 
 def lookup_edges(

@@ -305,6 +305,102 @@ EXPORT int64_t pt_tokenize_batch(
     return tot;
 }
 
+/* ---- newline/tab scanner -------------------------------------------------
+ *
+ * One pass over the whole GFA buffer collecting '\n' and '\t' positions
+ * (the structural index every other stage consumes), threaded by static
+ * byte ranges: count per range, host prefix-sums, fill per range.
+ */
+
+typedef struct {
+    const uint8_t* buf;
+    int64_t n;
+    int64_t n_ranges;
+    int64_t* nl_counts;  /* per range */
+    int64_t* tab_counts;
+    const int64_t* nl_off;  /* fill phase: start offset per range */
+    const int64_t* tab_off;
+    int64_t* nl_out;
+    int64_t* tab_out;
+    int phase;
+    int64_t next;
+    pthread_mutex_t lock;
+} scan_ctx;
+
+static void* scan_worker(void* arg)
+{
+    scan_ctx* c = (scan_ctx*)arg;
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t r = c->next < c->n_ranges ? c->next++ : -1;
+        pthread_mutex_unlock(&c->lock);
+        if (r < 0) return NULL;
+        int64_t chunk = (c->n + c->n_ranges - 1) / c->n_ranges;
+        int64_t a = r * chunk;
+        int64_t b = a + chunk < c->n ? a + chunk : c->n;
+        if (c->phase == 0) {
+            int64_t nl = 0, tab = 0;
+            for (int64_t i = a; i < b; i++) {
+                nl += (c->buf[i] == '\n');
+                tab += (c->buf[i] == '\t');
+            }
+            c->nl_counts[r] = nl;
+            c->tab_counts[r] = tab;
+        } else {
+            int64_t* nl = c->nl_out + c->nl_off[r];
+            int64_t* tab = c->tab_out + c->tab_off[r];
+            for (int64_t i = a; i < b; i++) {
+                if (c->buf[i] == '\n') *nl++ = i;
+                else if (c->buf[i] == '\t') *tab++ = i;
+            }
+        }
+    }
+}
+
+static void scan_run(scan_ctx* c, int phase, int32_t n_threads)
+{
+    c->phase = phase;
+    c->next = 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads == 1) {
+        scan_worker(c);
+        return;
+    }
+    pthread_t tids[64];
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++) {
+        if (pthread_create(&tids[t], NULL, scan_worker, c) == 0) spawned++;
+        else break;
+    }
+    scan_worker(c);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+}
+
+/* counts[0..n_ranges) newlines, counts[n_ranges..2*n_ranges) tabs */
+EXPORT void pt_scan_count(
+    const uint8_t* buf, int64_t n, int64_t n_ranges, int64_t* counts,
+    int32_t n_threads)
+{
+    scan_ctx c = {
+        buf, n, n_ranges, counts, counts + n_ranges,
+        NULL, NULL, NULL, NULL, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    scan_run(&c, 0, n_threads);
+}
+
+EXPORT void pt_scan_fill(
+    const uint8_t* buf, int64_t n, int64_t n_ranges,
+    const int64_t* nl_off, const int64_t* tab_off,
+    int64_t* nl_out, int64_t* tab_out, int32_t n_threads)
+{
+    scan_ctx c = {
+        buf, n, n_ranges, NULL, NULL,
+        nl_off, tab_off, nl_out, tab_out, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    scan_run(&c, 1, n_threads);
+}
+
 /* ---- edge-id lookup ------------------------------------------------------
  *
  * Map consecutive oriented node pairs of every path to canonical edge ids
