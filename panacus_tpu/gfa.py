@@ -403,41 +403,42 @@ class GraphStorage:
                 self._pw_seq_spans.append((t2 + 1, t3))
             self.path_segments.append(seg)
 
-    def all_path_item_runs(self):
-        """Tokenize EVERY P/W line in one threaded native call.
+    def all_path_item_runs(self, path_indices: Optional[np.ndarray] = None):
+        """Tokenize P/W lines in one threaded native call — every line, or
+        only `path_indices` (multi-host ingest: each host tokenizes its
+        slice of the path set; see parallel/ingest.py).
 
-        Returns (ids, orient, prefsum, bp_per_path) where path i's run is
-        ids[prefsum[i]:prefsum[i+1]] and bp_per_path[i] is its total node
-        length, or None when the native path doesn't apply (non-integer
-        names, no native lib) — callers fall back to path_item_run."""
+        Returns (ids, orient, prefsum, bp_per_path) over the selected paths
+        (path k of the selection spans ids[prefsum[k]:prefsum[k+1]]), or
+        None when the native path doesn't apply (non-integer names, no
+        native lib) — callers fall back to path_item_run."""
         if self._int_name_mode is None or not len(self._pw_starts):
             return None
         from .native import tokenize_batch
         from .runtime import effective_threads
 
         spans = np.asarray(self._pw_seq_spans, dtype=np.int64)
-        if self._int_name_mode == "identity":
-            return tokenize_batch(
-                self._buf,
-                spans[:, 0],
-                spans[:, 1],
-                self._pw_is_walk,
-                mode=1,
-                n_items=self.node_count,
-                node_lens=self.node_lens,
-                n_threads=effective_threads(),
-            )
-        return tokenize_batch(
-            self._buf,
-            spans[:, 0],
-            spans[:, 1],
-            self._pw_is_walk,
-            mode=2,
+        walk = self._pw_is_walk
+        if path_indices is not None:
+            spans = spans[path_indices]
+            walk = walk[path_indices]
+            if not len(spans):
+                z = np.zeros(0, np.int64)
+                return z, np.zeros(0, np.uint8), np.zeros(1, np.int64), z
+        kwargs = dict(
+            mode=1,
             n_items=self.node_count,
-            sorted_vals=self._int_sorted,
-            sorted_ids=self._int_sorted_ids,
             node_lens=self.node_lens,
             n_threads=effective_threads(),
+        )
+        if self._int_name_mode != "identity":
+            kwargs.update(
+                mode=2,
+                sorted_vals=self._int_sorted,
+                sorted_ids=self._int_sorted_ids,
+            )
+        return tokenize_batch(
+            self._buf, spans[:, 0], spans[:, 1], walk, **kwargs
         )
 
     def path_item_run(self, path_idx: int) -> Tuple[np.ndarray, np.ndarray]:
