@@ -587,10 +587,10 @@ class GraphStorage:
         self.edges_o1 = co1[inv_order]
         self.edges_v = cv[inv_order]
         self.edges_o2 = co2[inv_order]
-        degree = np.zeros(self.node_count + 1, dtype=np.uint32)
-        np.add.at(degree, self.edges_u, 1)
-        np.add.at(degree, self.edges_v, 1)
-        self.degree = degree
+        self.degree = (
+            np.bincount(self.edges_u, minlength=self.node_count + 1)
+            + np.bincount(self.edges_v, minlength=self.node_count + 1)
+        ).astype(np.uint32)
         log.info("found: %d edges", self.edge_count)
 
     def edge_ids_for_pairs(
