@@ -75,8 +75,23 @@ def itemize_paths(
     n_workers = min(effective_threads(), max(n_paths, 1))
     runs: List = [None] * n_paths
     batch = None
+    batch_slot: Optional[np.ndarray] = None
     if has_include:
-        pass  # subset mode: tokenize lazily, skipped paths are never parsed
+        # subset mode: decide skips up front (coords only), then batch-
+        # tokenize exactly the paths that will be processed
+        sel = []
+        for i, seg in enumerate(graph.path_segments):
+            inc = include_map.get(seg.id(), [])
+            exc = exclude_map.get(seg.id(), []) if has_exclude else []
+            c = seg.coords()
+            s0, e0 = c if c is not None else (0, (1 << 63) - 1)
+            if intersects(inc, (s0, e0)) or intersects(exc, (s0, e0)):
+                sel.append(i)
+        if sel:
+            batch = graph.all_path_item_runs(np.asarray(sel, dtype=np.int64))
+            if batch is not None:
+                batch_slot = np.full(n_paths, -1, dtype=np.int64)
+                batch_slot[sel] = np.arange(len(sel))
     else:
         batch = graph.all_path_item_runs()
         if batch is None:
@@ -93,7 +108,7 @@ def itemize_paths(
                 for i in range(n_paths):
                     runs[i] = graph.path_item_run(i)
 
-    if batch is not None and not has_exclude:
+    if batch is not None and not has_include and not has_exclude:
         # zero-copy shortcut: no masks at all -> the batch CSR IS the item
         # table; edges pair up vectorized across every path at once
         b_ids, b_orient, b_pref, b_bp = batch
@@ -155,7 +170,10 @@ def itemize_paths(
         b_ids, b_orient, b_pref, _ = batch
 
         def _run_of(i):
-            a, b = b_pref[i], b_pref[i + 1]
+            k = i if batch_slot is None else int(batch_slot[i])
+            if k < 0:  # skipped path tokenized after all (shouldn't happen)
+                return graph.path_item_run(i)
+            a, b = b_pref[k], b_pref[k + 1]
             return b_ids[a:b], b_orient[a:b]
 
     else:
@@ -281,7 +299,48 @@ def _update_tables(
     (reference: src/graph_broker/util.rs:412-567): nodes overlapping an
     include interval are pushed (once per overlapping interval), partial bp
     coverage is tracked in subset_covered_bps, exclusion marks nodes in
-    exclude tables (annotated for bp)."""
+    exclude tables (annotated for bp). The hot walk runs in C when
+    available (native.pt_interval_walk) with a compressed event stream;
+    this Python loop is the exact fallback."""
+    if len(ids):
+        from .native import interval_walk
+
+        cov_present = None
+        if subset_covered_bps is not None:
+            cov_present = getattr(subset_covered_bps, "_present", None)
+            if cov_present is None:
+                cov_present = np.zeros(len(graph.node_lens), dtype=np.uint8)
+                if subset_covered_bps.map:
+                    cov_present[list(subset_covered_bps.map.keys())] = 1
+                subset_covered_bps._present = cov_present
+        res = interval_walk(
+            ids,
+            orient,
+            graph.node_lens,
+            include_coords,
+            exclude_coords,
+            offset,
+            cov_present,
+        )
+        if res is not None:
+            pushed_arr, cov_ev, exc_ev, included_bp = res
+            item_table.append(num_path, pushed_arr)
+            if subset_covered_bps is not None:
+                for sid, a, b, kind in cov_ev.tolist():
+                    if kind:
+                        subset_covered_bps.remove(sid)
+                    else:
+                        subset_covered_bps.add(sid, a, b)
+            node_lens_l = graph.node_lens
+            for sid, a, b in exc_ev.tolist():
+                l = int(node_lens_l[sid])
+                for ex in exclude_tables:
+                    if ex is not None:
+                        if ex.with_annotation():
+                            ex.activate_n_annotate(sid, l, a, b)
+                        else:
+                            ex.activate(sid)
+            return len(pushed_arr), included_bp
     i = 0
     j = 0
     p = offset

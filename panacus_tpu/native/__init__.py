@@ -76,6 +76,19 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_parse_int_spans.argtypes = [u8p, i64p, i64p, i64, i64p]
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.pt_tokenize_batch.restype = i64
+    lib.pt_interval_walk.restype = i64
+    lib.pt_interval_walk.argtypes = [
+        i64p, u8p, i64,   # ids, orient, n_ids
+        u32p,             # node_lens
+        i64p, i64,        # inc, n_inc
+        i64p, i64,        # exc, n_exc
+        i64,              # offset
+        u8p,              # cov_present (nullable)
+        i64p, i64,        # pushed, cap
+        i64p, i64, i64p,  # cov_ev, cap, n_out
+        i64p, i64, i64p,  # exc_ev, cap, n_out
+        i64p,             # included_bp
+    ]
     lib.pt_scan_count.restype = None
     lib.pt_scan_count.argtypes = [u8p, i64, i64, i64p, ctypes.c_int32]
     lib.pt_scan_fill.restype = None
@@ -310,6 +323,71 @@ def tokenize_batch(
     if rc < 0:
         return None
     return ids[:rc], orient[:rc], prefsum, bp
+
+
+def interval_walk(
+    ids: np.ndarray,
+    orient: np.ndarray,
+    node_lens: np.ndarray,
+    include_coords,
+    exclude_coords,
+    offset: int,
+    cov_present: Optional[np.ndarray],
+):
+    """C port of the masked per-path interval walk. Returns
+    (pushed int64[], cov_events int64[n,4], exc_events int64[m,3],
+    included_bp) or None when the native lib is unavailable (caller runs
+    the Python walker)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    n = len(ids)
+    inc = np.asarray(include_coords, dtype=np.int64).reshape(-1, 2)
+    exc = np.asarray(exclude_coords, dtype=np.int64).reshape(-1, 2)
+    cap_p = n + len(inc) + 8
+    cap_e = n + len(exc) + 8
+    ids_c = np.ascontiguousarray(ids, dtype=np.int64)
+    or_c = np.ascontiguousarray(orient, dtype=np.uint8)
+    nl_c = np.ascontiguousarray(node_lens, dtype=np.uint32)
+    pushed = np.empty(cap_p, dtype=np.int64)
+    cov_ev = np.empty(4 * cap_p, dtype=np.int64)
+    exc_ev = np.empty(3 * cap_e, dtype=np.int64)
+    n_cov = ctypes.c_int64(0)
+    n_exc = ctypes.c_int64(0)
+    bp = ctypes.c_int64(0)
+    rc = lib.pt_interval_walk(
+        ids_c.ctypes.data_as(i64p),
+        _as_u8p(or_c),
+        ctypes.c_int64(n),
+        nl_c.ctypes.data_as(u32p),
+        inc.ctypes.data_as(i64p),
+        ctypes.c_int64(len(inc)),
+        exc.ctypes.data_as(i64p),
+        ctypes.c_int64(len(exc)),
+        ctypes.c_int64(offset),
+        _as_u8p(cov_present) if cov_present is not None else ctypes.cast(
+            None, ctypes.POINTER(ctypes.c_uint8)
+        ),
+        pushed.ctypes.data_as(i64p),
+        ctypes.c_int64(cap_p),
+        cov_ev.ctypes.data_as(i64p),
+        ctypes.c_int64(cap_p),
+        ctypes.byref(n_cov),
+        exc_ev.ctypes.data_as(i64p),
+        ctypes.c_int64(cap_e),
+        ctypes.byref(n_exc),
+        ctypes.byref(bp),
+    )
+    if rc < 0:
+        return None
+    return (
+        pushed[:rc],
+        cov_ev[: 4 * n_cov.value].reshape(-1, 4),
+        exc_ev[: 3 * n_exc.value].reshape(-1, 3),
+        int(bp.value),
+    )
 
 
 def scan_lines(buf: np.ndarray, n_threads: int = 0):

@@ -305,6 +305,128 @@ EXPORT int64_t pt_tokenize_batch(
     return tot;
 }
 
+/* ---- masked interval walker ----------------------------------------------
+ *
+ * The subset/exclude path itemizer (reference: update_tables,
+ * src/graph_broker/util.rs:569-721) walks a path node-by-node against
+ * sorted include/exclude coordinate intervals. Exact port of the Python
+ * loop in itemize._update_tables, which is itself the bit-exact port of
+ * the reference: pushes, included-bp accounting, and a compressed event
+ * stream for the interval containers. A presence bitmap (mirror of
+ * subset_covered_bps.contains) lets full-coverage visits skip event
+ * emission unless a removal actually happens, so the Python replay loop
+ * only sees boundary nodes.
+ *
+ * cov events: (sid, a, b, kind) with kind 0 = add(a, b), 1 = remove.
+ * exc events: (sid, a, b) — the caller applies them to each exclude
+ * table (plain activate or annotated activate), in order.
+ * Returns the push count, or -1 if an output capacity would overflow
+ * (caller falls back to the Python walker).
+ */
+EXPORT int64_t pt_interval_walk(
+    const int64_t* ids, const uint8_t* orient, int64_t n_ids,
+    const uint32_t* node_lens,
+    const int64_t* inc, int64_t n_inc,
+    const int64_t* exc, int64_t n_exc,
+    int64_t offset,
+    uint8_t* cov_present, /* may be NULL: no covered-bps tracking */
+    int64_t* pushed, int64_t cap_pushed,
+    int64_t* cov_ev, int64_t cap_cov, int64_t* n_cov_out,
+    int64_t* exc_ev, int64_t cap_exc, int64_t* n_exc_out,
+    int64_t* included_bp_out)
+{
+    int64_t i = 0, j = 0;
+    int64_t p = offset;
+    int64_t n_pushed = 0, n_cov = 0, n_excev = 0;
+    int64_t included_bp = 0;
+
+    for (int64_t k = 0; k < n_ids; k++) {
+        int64_t sid = ids[k];
+        int64_t l = node_lens[sid];
+        int o = orient[k];
+
+        int stop_here = 0;
+        while (i < n_inc && inc[2 * i] < p + l && !stop_here) {
+            if (inc[2 * i + 1] > p) {
+                int64_t a = inc[2 * i] > p ? inc[2 * i] - p : 0;
+                int64_t b;
+                if (inc[2 * i + 1] < p + l) {
+                    i++;
+                    b = inc[2 * (i - 1) + 1] - p;
+                } else {
+                    stop_here = 1;
+                    b = l;
+                }
+                if (o == 1) {
+                    int64_t na = l - b, nb = l - a;
+                    a = na;
+                    b = nb;
+                }
+                if (n_pushed >= cap_pushed) return -1;
+                pushed[n_pushed++] = sid;
+                if (cov_present) {
+                    if (b - a == l) {
+                        if (cov_present[sid]) {
+                            cov_present[sid] = 0;
+                            if (n_cov >= cap_cov) return -1;
+                            cov_ev[4 * n_cov] = sid;
+                            cov_ev[4 * n_cov + 1] = 0;
+                            cov_ev[4 * n_cov + 2] = 0;
+                            cov_ev[4 * n_cov + 3] = 1;
+                            n_cov++;
+                        }
+                    } else {
+                        cov_present[sid] = 1;
+                        if (n_cov >= cap_cov) return -1;
+                        cov_ev[4 * n_cov] = sid;
+                        cov_ev[4 * n_cov + 1] = a;
+                        cov_ev[4 * n_cov + 2] = b;
+                        cov_ev[4 * n_cov + 3] = 0;
+                        n_cov++;
+                    }
+                }
+                included_bp += b - a;
+            } else {
+                i++;
+            }
+        }
+
+        stop_here = 0;
+        while (j < n_exc && exc[2 * j] < p + l && !stop_here) {
+            if (exc[2 * j + 1] > p) {
+                int64_t a = exc[2 * j] > p ? exc[2 * j] - p : 0;
+                int64_t b;
+                if (exc[2 * j + 1] < p + l) {
+                    j++;
+                    b = exc[2 * (j - 1) + 1] - p;
+                } else {
+                    stop_here = 1;
+                    b = l;
+                }
+                if (o == 1) {
+                    int64_t na = l - b, nb = l - a;
+                    a = na;
+                    b = nb;
+                }
+                if (n_excev >= cap_exc) return -1;
+                exc_ev[3 * n_excev] = sid;
+                exc_ev[3 * n_excev + 1] = a;
+                exc_ev[3 * n_excev + 2] = b;
+                n_excev++;
+            } else {
+                j++;
+            }
+        }
+
+        if (i >= n_inc && j >= n_exc) break;
+        p += l;
+    }
+    *n_cov_out = n_cov;
+    *n_exc_out = n_excev;
+    *included_bp_out = included_bp;
+    return n_pushed;
+}
+
 /* ---- newline/tab scanner -------------------------------------------------
  *
  * One pass over the whole GFA buffer collecting '\n' and '\t' positions

@@ -122,6 +122,79 @@ def test_unknown_edge_raises(tmp_path):
             _itemize(gfa, [CountType.EDGE], True)
 
 
+def test_interval_walk_parity_random_masks(tmp_path):
+    """C interval walker vs Python fallback under random BED subsets and
+    exclusions, forward and reverse orientations."""
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    n_nodes = 80
+    lines = ["H\tVN:Z:1.0"]
+    lens = rng.integers(1, 12, size=n_nodes)
+    for i in range(n_nodes):
+        lines.append(f"S\t{i + 1}\t{'C' * int(lens[i])}")
+    for p in range(6):
+        visit = rng.permutation(n_nodes)[:40] + 1
+        orient = rng.integers(0, 2, size=len(visit))
+        toks = ",".join(
+            f"{n}{'-' if o else '+'}" for n, o in zip(visit, orient)
+        )
+        lines.append(f"P\ts{p % 3}#{p}#c\t{toks}\t*")
+    gfa = _write(tmp_path, "m.gfa", "\n".join(lines) + "\n")
+
+    g0 = GraphStorage(gfa, index_edges=False)
+    segs = [s.id() for s in g0.path_segments]
+    sub = tmp_path / "sub.bed"
+    sub.write_text(
+        "".join(
+            f"{s}\t{int(a)}\t{int(a + w)}\n"
+            for s in segs[:4]
+            for a, w in [(rng.integers(0, 60), rng.integers(5, 80))]
+        )
+    )
+    exc = tmp_path / "exc.bed"
+    exc.write_text(f"{segs[1]}\t10\t40\n{segs[4]}\t0\t25\n")
+
+    for params in [
+        GraphMaskParameters(positive_list=str(sub)),
+        GraphMaskParameters(negative_list=str(exc)),
+        GraphMaskParameters(
+            positive_list=str(sub), negative_list=str(exc)
+        ),
+    ]:
+        for counts in ([CountType.BP], [CountType.NODE, CountType.BP]):
+            g = GraphStorage(gfa, index_edges=False)
+            mask = GraphMask.from_datamgr(params, g)
+            it_c = itemize_paths(g, mask, counts)
+            g = GraphStorage(gfa, index_edges=False)
+            mask = GraphMask.from_datamgr(params, g)
+            with no_native():
+                it_py = itemize_paths(g, mask, counts)
+            for tn, tp in zip(it_c.item_tables, it_py.item_tables):
+                assert np.array_equal(tn.items, tp.items)
+                assert np.array_equal(tn.prefsum, tp.prefsum)
+            assert it_c.paths_len == it_py.paths_len
+            mc = (
+                it_c.subset_covered_bps.map
+                if it_c.subset_covered_bps is not None
+                else None
+            )
+            mp = (
+                it_py.subset_covered_bps.map
+                if it_py.subset_covered_bps is not None
+                else None
+            )
+            assert mc == mp
+            for en, ep in zip(it_c.exclude_tables, it_py.exclude_tables):
+                if en is None or ep is None:
+                    assert en is None and ep is None
+                    continue
+                assert np.array_equal(en.items, ep.items)
+                an = en.annotation.map if en.annotation else None
+                ap = ep.annotation.map if ep.annotation else None
+                assert an == ap
+
+
 def test_larger_random_graph_parity(tmp_path):
     if native.get_lib() is None:
         pytest.skip("native lib unavailable")
