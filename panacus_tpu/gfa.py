@@ -266,10 +266,21 @@ class GraphStorage:
         self.edge_count = 0
         self._edge_keys_sorted: Optional[np.ndarray] = None
         self._edge_ids_sorted: Optional[np.ndarray] = None
+        self._edge_hash = None
         self.edges_u = self.edges_o1 = self.edges_v = self.edges_o2 = None
         self.degree: Optional[np.ndarray] = None
         if index_edges:
             self._index_edges(starts[is_l], ends[is_l])
+
+    def edge_hash(self):
+        """Lazy native hash table over canonical edge keys (or None)."""
+        if self._edge_hash is None and self._edge_keys_sorted is not None:
+            from .native import build_edge_hash
+
+            self._edge_hash = build_edge_hash(
+                self._edge_keys_sorted, self._edge_ids_sorted
+            )
+        return self._edge_hash
 
     # -- nodes ----------------------------------------------------------------
 

@@ -123,17 +123,12 @@ def itemize_paths(
                 from .native import lookup_edges
                 from .runtime import effective_threads
 
-                res = (
-                    lookup_edges(
-                        b_ids,
-                        b_orient,
-                        b_pref,
-                        graph._edge_keys_sorted,
-                        graph._edge_ids_sorted,
-                        effective_threads(),
-                    )
-                    if graph._edge_keys_sorted is not None
-                    else None
+                res = lookup_edges(
+                    b_ids,
+                    b_orient,
+                    b_pref,
+                    graph.edge_hash(),
+                    effective_threads(),
                 )
                 if res is not None:
                     table.adopt(*res)

@@ -103,9 +103,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_lookup_edges.argtypes = [
         i64p, u8p,       # ids, orient
         i64p, i64,       # prefsum, n_paths
-        u64p, i64p, i64,  # keys_sorted, eids_sorted, n_edges
+        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
         i64p, i64p,      # out_eids, out_pref
         ctypes.c_int32,  # n_threads
+    ]
+    lib.pt_build_edge_hash.restype = None
+    lib.pt_build_edge_hash.argtypes = [
+        u64p, i64p, i64,  # keys, eids, n
+        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
     ]
     lib.pt_tokenize_batch.argtypes = [
         u8p,            # buf
@@ -429,20 +434,48 @@ def scan_lines(buf: np.ndarray, n_threads: int = 0):
     return nl, tabs
 
 
+def build_edge_hash(keys: np.ndarray, eids: np.ndarray):
+    """Open-addressing hash table over canonical edge keys (load <= 0.5).
+    Returns (slot_keys uint64[S], slot_eids int64[S], log2_slots) or None
+    (native unavailable). Valid keys are >= 4, so slot key 0 == empty."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = len(keys)
+    log2_slots = max(int(2 * n - 1).bit_length(), 4)
+    n_slots = 1 << log2_slots
+    slot_keys = np.zeros(n_slots, dtype=np.uint64)
+    slot_eids = np.zeros(n_slots, dtype=np.int64)
+    ks_c = np.ascontiguousarray(keys, dtype=np.uint64)
+    es_c = np.ascontiguousarray(eids, dtype=np.int64)
+    lib.pt_build_edge_hash(
+        ks_c.ctypes.data_as(u64p),
+        es_c.ctypes.data_as(i64p),
+        ctypes.c_int64(n),
+        slot_keys.ctypes.data_as(u64p),
+        slot_eids.ctypes.data_as(i64p),
+        ctypes.c_int32(log2_slots),
+    )
+    return slot_keys, slot_eids, log2_slots
+
+
 def lookup_edges(
     ids: np.ndarray,
     orient: np.ndarray,
     prefsum: np.ndarray,
-    keys_sorted: np.ndarray,
-    eids_sorted: np.ndarray,
+    edge_hash,
     n_threads: int = 0,
 ):
     """Canonical edge-id lookup for every consecutive pair of every path,
-    threaded, no temporaries. Returns (eids int64[E], e_pref int64[n+1]) or
+    threaded, one hash probe per pair, no temporaries. edge_hash is the
+    build_edge_hash triple. Returns (eids int64[E], e_pref int64[n+1]) or
     None (native unavailable); raises ValueError on an unknown edge."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or edge_hash is None:
         return None
+    slot_keys, slot_eids, log2_slots = edge_hash
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     n_paths = len(prefsum) - 1
@@ -455,16 +488,14 @@ def lookup_edges(
     ids_c = np.ascontiguousarray(ids, dtype=np.int64)
     or_c = np.ascontiguousarray(orient, dtype=np.uint8)
     pf_c = np.ascontiguousarray(prefsum, dtype=np.int64)
-    ks_c = np.ascontiguousarray(keys_sorted, dtype=np.uint64)
-    es_c = np.ascontiguousarray(eids_sorted, dtype=np.int64)
     rc = lib.pt_lookup_edges(
         ids_c.ctypes.data_as(i64p),
         _as_u8p(or_c),
         pf_c.ctypes.data_as(i64p),
         ctypes.c_int64(n_paths),
-        ks_c.ctypes.data_as(u64p),
-        es_c.ctypes.data_as(i64p),
-        ctypes.c_int64(len(ks_c)),
+        slot_keys.ctypes.data_as(u64p),
+        slot_eids.ctypes.data_as(i64p),
+        ctypes.c_int32(log2_slots),
         out.ctypes.data_as(i64p),
         e_pref.ctypes.data_as(i64p),
         ctypes.c_int32(n_threads),

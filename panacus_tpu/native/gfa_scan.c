@@ -528,19 +528,41 @@ EXPORT void pt_scan_fill(
  * Map consecutive oriented node pairs of every path to canonical edge ids
  * (reference: Edge::canonical src/graph_broker/graph.rs:142-148 + the
  * pair walk of update_tables_edgecount util.rs:723-795) in one threaded
- * pass: no numpy temporaries, one binary search per pair into the sorted
- * canonical key table. out_pref[p]..out_pref[p+1] delimits path p's edge
- * run; out_pref must be precomputed as cumsum(max(counts,1)-1).
+ * pass: no numpy temporaries, one open-addressing hash probe per pair
+ * (~1-2 cache lines vs ~21 for a binary search over millions of edges).
+ * out_pref[p]..out_pref[p+1] delimits path p's edge run; out_pref must be
+ * precomputed as cumsum(max(counts,1)-1).
+ *
+ * Hash table: power-of-two slot count, Fibonacci multiplicative hash,
+ * linear probing. Canonical keys are (u<<33)|(v<<2)|(o1<<1)|o2 with
+ * v >= 1, so every valid key is >= 4 and slot key 0 means "empty".
  */
+
+#define EDGE_HASH_MUL 0x9E3779B97F4A7C15ull
+
+/* Populate a zeroed slot table (n_slots = 1 << log2_slots, must exceed n). */
+EXPORT void pt_build_edge_hash(
+    const uint64_t* keys, const int64_t* eids, int64_t n,
+    uint64_t* slot_keys, int64_t* slot_eids, int32_t log2_slots)
+{
+    uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
+    int shift = 64 - log2_slots;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t s = (keys[i] * EDGE_HASH_MUL) >> shift;
+        while (slot_keys[s]) s = (s + 1) & mask;
+        slot_keys[s] = keys[i];
+        slot_eids[s] = eids[i];
+    }
+}
 
 typedef struct {
     const int64_t* ids;
     const uint8_t* orient;
     const int64_t* prefsum;
     int64_t n_paths;
-    const uint64_t* keys_sorted;
-    const int64_t* eids_sorted;
-    int64_t n_edges;
+    const uint64_t* slot_keys;
+    const int64_t* slot_eids;
+    int32_t log2_slots;
     int64_t* out_eids;
     const int64_t* out_pref;
     int64_t err;
@@ -551,6 +573,8 @@ typedef struct {
 static void* edge_worker(void* arg)
 {
     edge_ctx* c = (edge_ctx*)arg;
+    uint64_t mask = ((uint64_t)1 << c->log2_slots) - 1;
+    int shift = 64 - c->log2_slots;
     for (;;) {
         pthread_mutex_lock(&c->lock);
         int64_t p = (c->next < c->n_paths && !c->err) ? c->next++ : -1;
@@ -570,19 +594,18 @@ static void* edge_worker(void* arg)
                 cv = (uint64_t)v; co2 = o2;
             }
             uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
-            int64_t lo = 0, hi = c->n_edges;
-            while (lo < hi) {
-                int64_t mid = (lo + hi) >> 1;
-                if (c->keys_sorted[mid] < key) lo = mid + 1;
-                else hi = mid;
+            uint64_t s = (key * EDGE_HASH_MUL) >> shift;
+            uint64_t sk;
+            while ((sk = c->slot_keys[s]) != key) {
+                if (!sk) {
+                    pthread_mutex_lock(&c->lock);
+                    if (!c->err) c->err = -(k + 1);
+                    pthread_mutex_unlock(&c->lock);
+                    return NULL;
+                }
+                s = (s + 1) & mask;
             }
-            if (lo >= c->n_edges || c->keys_sorted[lo] != key) {
-                pthread_mutex_lock(&c->lock);
-                if (!c->err) c->err = -(k + 1);
-                pthread_mutex_unlock(&c->lock);
-                return NULL;
-            }
-            *out++ = c->eids_sorted[lo];
+            *out++ = c->slot_eids[s];
         }
     }
 }
@@ -591,11 +614,11 @@ static void* edge_worker(void* arg)
 EXPORT int64_t pt_lookup_edges(
     const int64_t* ids, const uint8_t* orient,
     const int64_t* prefsum, int64_t n_paths,
-    const uint64_t* keys_sorted, const int64_t* eids_sorted, int64_t n_edges,
+    const uint64_t* slot_keys, const int64_t* slot_eids, int32_t log2_slots,
     int64_t* out_eids, const int64_t* out_pref, int32_t n_threads)
 {
     edge_ctx c = {
-        ids, orient, prefsum, n_paths, keys_sorted, eids_sorted, n_edges,
+        ids, orient, prefsum, n_paths, slot_keys, slot_eids, log2_slots,
         out_eids, out_pref, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     if (n_threads > (int32_t)n_paths) n_threads = (int32_t)n_paths;
