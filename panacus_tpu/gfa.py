@@ -543,6 +543,33 @@ class GraphStorage:
             self.edges_v = np.zeros(0, np.int64)
             self.edges_o2 = np.zeros(0, np.uint8)
             return
+        if self._int_name_mode is not None:
+            from .native import index_edges
+
+            res = index_edges(
+                buf,
+                l_starts,
+                l_ends,
+                1 if self._int_name_mode == "identity" else 2,
+                self.node_count,
+                getattr(self, "_int_sorted", None),
+                getattr(self, "_int_sorted_ids", None),
+            )
+            if res is not None:
+                (
+                    self._edge_hash,
+                    self.edges_u,
+                    self.edges_o1,
+                    self.edges_v,
+                    self.edges_o2,
+                    self.degree,
+                    n_dup,
+                ) = res
+                self.edge_count = len(self.edges_u)
+                if n_dup:
+                    log.warning("%d duplicated edges in GFA", n_dup)
+                log.info("found: %d edges", self.edge_count)
+                return
         ti = np.searchsorted(tabs, l_starts)
         t1 = tabs[ti]
         t2 = tabs[ti + 1]
@@ -612,6 +639,14 @@ class GraphStorage:
         o2: np.ndarray,
     ) -> np.ndarray:
         """Canonical edge id lookup for oriented node pairs (vectorized)."""
+        if self._edge_hash is not None:
+            from .native import lookup_pairs
+
+            res = lookup_pairs(u, o1, v, o2, self._edge_hash)
+            if res is not None:
+                return res
+        if self._edge_keys_sorted is None:
+            raise ValueError("edge index unavailable")
         cu, co1, cv, co2 = canonical_edges(u, o1, v, o2)
         keys = edge_keys(cu, co1, cv, co2)
         idx = np.searchsorted(self._edge_keys_sorted, keys)

@@ -112,6 +112,22 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         u64p, i64p, i64,  # keys, eids, n
         u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
     ]
+    lib.pt_index_edges.restype = i64
+    lib.pt_index_edges.argtypes = [
+        u8p,             # buf
+        i64p, i64p, i64,  # starts, ends, n_lines
+        ctypes.c_int32, i64,  # mode, n_items
+        i64p, i64p, i64,  # sorted_vals, sorted_ids, n_sorted
+        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
+        i64p, u8p, i64p, u8p,  # edges_u, o1, v, o2
+        u32p,            # degree
+    ]
+    lib.pt_lookup_pairs.restype = i64
+    lib.pt_lookup_pairs.argtypes = [
+        i64p, u8p, i64p, u8p, i64,  # u, o1, v, o2, n
+        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
+        i64p,            # out_eids
+    ]
     lib.pt_tokenize_batch.argtypes = [
         u8p,            # buf
         i64p, i64p, u8p,  # starts, ends, walk
@@ -459,6 +475,118 @@ def build_edge_hash(keys: np.ndarray, eids: np.ndarray):
         ctypes.c_int32(log2_slots),
     )
     return slot_keys, slot_eids, log2_slots
+
+
+def index_edges(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    mode: int,
+    n_items: int,
+    sorted_vals: Optional[np.ndarray],
+    sorted_ids: Optional[np.ndarray],
+):
+    """One-pass L-line edge indexer: parse + canonicalize + hash-dedupe with
+    first-occurrence edge ids. Returns (edge_hash, edges_u, edges_o1,
+    edges_v, edges_o2, degree, n_dup) or None (native unavailable); raises
+    ValueError on a malformed line / unknown node."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    n = len(starts)
+    log2_slots = max(int(2 * n - 1).bit_length(), 4)
+    n_slots = 1 << log2_slots
+    slot_keys = np.zeros(n_slots, dtype=np.uint64)
+    slot_eids = np.zeros(n_slots, dtype=np.int64)
+    edges_u = np.empty(n, dtype=np.int64)
+    edges_o1 = np.empty(n, dtype=np.uint8)
+    edges_v = np.empty(n, dtype=np.int64)
+    edges_o2 = np.empty(n, dtype=np.uint8)
+    degree = np.zeros(n_items + 1, dtype=np.uint32)
+    st_c = np.ascontiguousarray(starts, dtype=np.int64)
+    en_c = np.ascontiguousarray(ends, dtype=np.int64)
+    if sorted_vals is None:
+        sv_c = np.zeros(0, dtype=np.int64)
+        si_c = np.zeros(0, dtype=np.int64)
+    else:
+        sv_c = np.ascontiguousarray(sorted_vals, dtype=np.int64)
+        si_c = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    rc = lib.pt_index_edges(
+        _as_u8p(buf),
+        st_c.ctypes.data_as(i64p),
+        en_c.ctypes.data_as(i64p),
+        ctypes.c_int64(n),
+        ctypes.c_int32(mode),
+        ctypes.c_int64(n_items),
+        sv_c.ctypes.data_as(i64p),
+        si_c.ctypes.data_as(i64p),
+        ctypes.c_int64(len(sv_c)),
+        slot_keys.ctypes.data_as(u64p),
+        slot_eids.ctypes.data_as(i64p),
+        ctypes.c_int32(log2_slots),
+        edges_u.ctypes.data_as(i64p),
+        _as_u8p(edges_o1),
+        edges_v.ctypes.data_as(i64p),
+        _as_u8p(edges_o2),
+        degree.ctypes.data_as(u32p),
+    )
+    if rc < 0:
+        raise ValueError(f"malformed L line or unknown node (line {-rc - 1})")
+    n_unique = int(rc)
+    return (
+        (slot_keys, slot_eids, log2_slots),
+        edges_u[:n_unique],
+        edges_o1[:n_unique],
+        edges_v[:n_unique],
+        edges_o2[:n_unique],
+        degree,
+        n - n_unique,
+    )
+
+
+def lookup_pairs(
+    u: np.ndarray,
+    o1: np.ndarray,
+    v: np.ndarray,
+    o2: np.ndarray,
+    edge_hash,
+):
+    """Bulk canonical edge-id lookup for flat oriented pair arrays. Returns
+    eids int64[n] or None (native unavailable); raises ValueError on an
+    unknown pair."""
+    lib = get_lib()
+    if lib is None or edge_hash is None:
+        return None
+    slot_keys, slot_eids, log2_slots = edge_hash
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = len(u)
+    out = np.empty(n, dtype=np.int64)
+    u_c = np.ascontiguousarray(u, dtype=np.int64)
+    o1_c = np.ascontiguousarray(o1, dtype=np.uint8)
+    v_c = np.ascontiguousarray(v, dtype=np.int64)
+    o2_c = np.ascontiguousarray(o2, dtype=np.uint8)
+    rc = lib.pt_lookup_pairs(
+        u_c.ctypes.data_as(i64p),
+        _as_u8p(o1_c),
+        v_c.ctypes.data_as(i64p),
+        _as_u8p(o2_c),
+        ctypes.c_int64(n),
+        slot_keys.ctypes.data_as(u64p),
+        slot_eids.ctypes.data_as(i64p),
+        ctypes.c_int32(log2_slots),
+        out.ctypes.data_as(i64p),
+    )
+    if rc < 0:
+        i = -rc - 1
+        raise ValueError(
+            f"unknown edge {'<' if o1_c[i] else '>'}{u_c[i]}"
+            f"{'<' if o2_c[i] else '>'}{v_c[i]}"
+        )
+    return out
 
 
 def lookup_edges(

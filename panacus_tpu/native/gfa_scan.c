@@ -10,6 +10,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <string.h>
 #include <pthread.h>
 
 #define EXPORT __attribute__((visibility("default")))
@@ -469,11 +470,25 @@ static void* scan_worker(void* arg)
             c->nl_counts[r] = nl;
             c->tab_counts[r] = tab;
         } else {
+            /* memchr-driven fill: jump separator-to-separator at SIMD
+             * speed instead of testing every byte */
             int64_t* nl = c->nl_out + c->nl_off[r];
             int64_t* tab = c->tab_out + c->tab_off[r];
-            for (int64_t i = a; i < b; i++) {
-                if (c->buf[i] == '\n') *nl++ = i;
-                else if (c->buf[i] == '\t') *tab++ = i;
+            const uint8_t* base = c->buf;
+            const uint8_t* p = base + a;
+            const uint8_t* end = base + b;
+            while (p < end) {
+                p = memchr(p, '\n', (size_t)(end - p));
+                if (!p) break;
+                *nl++ = p - base;
+                p++;
+            }
+            p = base + a;
+            while (p < end) {
+                p = memchr(p, '\t', (size_t)(end - p));
+                if (!p) break;
+                *tab++ = p - base;
+                p++;
             }
         }
     }
@@ -637,6 +652,148 @@ EXPORT int64_t pt_lookup_edges(
     edge_worker(&c);
     for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
     return c.err;
+}
+
+/* ---- L-line edge indexer ---------------------------------------------------
+ *
+ * One pass over all L lines: parse `L\tu\t{+-}\tv\t{+-}\t...`, map integer
+ * node names to ids (mode 1 identity / mode 2 sorted-table binary search),
+ * canonicalize (reference: Edge::canonical src/graph_broker/graph.rs:142-148),
+ * and dedupe through the open-addressing hash table while assigning edge ids
+ * in first-occurrence order (reference inserts into edge2id the same way,
+ * graph.rs:276-306). Replaces parse + np.unique + argsort host passes and
+ * leaves the lookup hash table ready for the path itemizer.
+ *
+ * slot_keys/slot_eids must be zeroed, n_slots = 1 << log2_slots > 2*n_lines.
+ * edges_* have capacity n_lines; degree has n_items+1 zeroed entries.
+ * Returns the unique-edge count, or -(line_idx+1) on a malformed line or
+ * unknown node name.
+ */
+EXPORT int64_t pt_index_edges(
+    const uint8_t* buf,
+    const int64_t* starts, const int64_t* ends, int64_t n_lines,
+    int32_t mode, int64_t n_items,
+    const int64_t* sorted_vals, const int64_t* sorted_ids, int64_t n_sorted,
+    uint64_t* slot_keys, int64_t* slot_eids, int32_t log2_slots,
+    int64_t* edges_u, uint8_t* edges_o1,
+    int64_t* edges_v, uint8_t* edges_o2,
+    uint32_t* degree)
+{
+    uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
+    int shift = 64 - log2_slots;
+    int64_t n_unique = 0;
+    for (int64_t k = 0; k < n_lines; k++) {
+        int64_t i = starts[k], e = ends[k];
+        if (i + 1 >= e || buf[i] != 'L' || buf[i + 1] != '\t') return -(k + 1);
+        i += 2;
+        int64_t uv = 0, vv = 0;
+        int any = 0;
+        while (i < e && buf[i] >= '0' && buf[i] <= '9') {
+            uv = uv * 10 + (buf[i] - '0');
+            any = 1;
+            i++;
+        }
+        if (!any || i + 1 >= e || buf[i] != '\t') return -(k + 1);
+        uint8_t o1;
+        if (buf[i + 1] == '+') o1 = 0;
+        else if (buf[i + 1] == '-') o1 = 1;
+        else return -(k + 1);
+        i += 2;
+        if (i >= e || buf[i] != '\t') return -(k + 1);
+        i++;
+        any = 0;
+        while (i < e && buf[i] >= '0' && buf[i] <= '9') {
+            vv = vv * 10 + (buf[i] - '0');
+            any = 1;
+            i++;
+        }
+        if (!any || i + 1 >= e || buf[i] != '\t') return -(k + 1);
+        uint8_t o2;
+        if (buf[i + 1] == '+') o2 = 0;
+        else if (buf[i + 1] == '-') o2 = 1;
+        else return -(k + 1);
+
+        int64_t u, v;
+        if (mode == 1) {
+            if (uv < 1 || uv > n_items || vv < 1 || vv > n_items)
+                return -(k + 1);
+            u = uv;
+            v = vv;
+        } else {
+            int64_t lo = 0, hi = n_sorted;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (sorted_vals[mid] < uv) lo = mid + 1;
+                else hi = mid;
+            }
+            if (lo >= n_sorted || sorted_vals[lo] != uv) return -(k + 1);
+            u = sorted_ids[lo];
+            lo = 0;
+            hi = n_sorted;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (sorted_vals[mid] < vv) lo = mid + 1;
+                else hi = mid;
+            }
+            if (lo >= n_sorted || sorted_vals[lo] != vv) return -(k + 1);
+            v = sorted_ids[lo];
+        }
+
+        uint64_t cu, cv, co1, co2;
+        if (u > v || (u == v && o1)) {
+            cu = (uint64_t)v; co1 = o2 ^ 1u;
+            cv = (uint64_t)u; co2 = o1 ^ 1u;
+        } else {
+            cu = (uint64_t)u; co1 = o1;
+            cv = (uint64_t)v; co2 = o2;
+        }
+        uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
+        uint64_t s = (key * EDGE_HASH_MUL) >> shift;
+        uint64_t sk;
+        while ((sk = slot_keys[s]) != 0 && sk != key) s = (s + 1) & mask;
+        if (sk == 0) {
+            slot_keys[s] = key;
+            slot_eids[s] = ++n_unique;
+            edges_u[n_unique - 1] = (int64_t)cu;
+            edges_o1[n_unique - 1] = (uint8_t)co1;
+            edges_v[n_unique - 1] = (int64_t)cv;
+            edges_o2[n_unique - 1] = (uint8_t)co2;
+            degree[cu]++;
+            degree[cv]++;
+        }
+    }
+    return n_unique;
+}
+
+/* Bulk canonical edge-id lookup for flat oriented pair arrays (the masked
+ * itemizer path). Returns 0, or -(i+1) for the first unknown pair. */
+EXPORT int64_t pt_lookup_pairs(
+    const int64_t* u, const uint8_t* o1,
+    const int64_t* v, const uint8_t* o2, int64_t n,
+    const uint64_t* slot_keys, const int64_t* slot_eids, int32_t log2_slots,
+    int64_t* out_eids)
+{
+    uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
+    int shift = 64 - log2_slots;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t cu, cv, co1, co2;
+        if (u[i] > v[i] || (u[i] == v[i] && o1[i])) {
+            cu = (uint64_t)v[i]; co1 = o2[i] ^ 1u;
+            cv = (uint64_t)u[i]; co2 = o1[i] ^ 1u;
+        } else {
+            cu = (uint64_t)u[i]; co1 = o1[i];
+            cv = (uint64_t)v[i]; co2 = o2[i];
+        }
+        uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
+        uint64_t s = (key * EDGE_HASH_MUL) >> shift;
+        uint64_t sk;
+        while ((sk = slot_keys[s]) != key) {
+            if (!sk) return -(i + 1);
+            s = (s + 1) & mask;
+        }
+        out_eids[i] = slot_eids[s];
+    }
+    return 0;
 }
 
 /* OR one group's bit into a membership-matrix row for every visited item,
