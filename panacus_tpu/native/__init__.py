@@ -30,7 +30,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             src = f.read()
     except OSError:
         return None
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + b"|march-native-v1").hexdigest()[:16]
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "panacus_tpu",
@@ -40,7 +40,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so_path):
         os.makedirs(cache_dir, exist_ok=True)
         cc = os.environ.get("CC", "cc")
-        cmd = [
+        base = [
             cc,
             "-O3",
             "-shared",
@@ -51,11 +51,24 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             "-o",
             so_path + ".tmp",
         ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(so_path + ".tmp", so_path)
-        except Exception as e:
-            log.debug("native build failed (%s); using numpy fallback", e)
+        # compiled on demand on the machine that runs it, so -march=native
+        # is safe; retry portable if the toolchain rejects it
+        built = False
+        for extra in (["-march=native"], []):
+            try:
+                subprocess.run(
+                    base[:1] + extra + base[1:],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                os.replace(so_path + ".tmp", so_path)
+                built = True
+                break
+            except Exception as e:
+                log.debug("native build attempt failed (%s)", e)
+        if not built:
+            log.debug("native build failed; using numpy fallback")
             return None
     try:
         lib = ctypes.CDLL(so_path)
