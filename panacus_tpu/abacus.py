@@ -54,11 +54,31 @@ def build_membership_host(
     abacus.rs:736-737, since an all-zero column counts as coverage 0)."""
     n_words = max((n_groups + 31) // 32, 1)
     M = np.zeros((n_words, n_items_pad), dtype=np.uint32)
-    for path_id, group_idx in path_order:
-        ids = item_table.path_slice(path_id)
-        if len(ids) == 0:
-            continue
-        M[group_idx >> 5, ids] |= np.uint32(1 << (group_idx & 31))
+    native_done = False
+    if path_order and item_table.prefsum is not None:
+        from .native import build_membership
+        from .runtime import effective_threads
+
+        pids = np.fromiter(
+            (p for p, _ in path_order), dtype=np.int64, count=len(path_order)
+        )
+        gidx = np.fromiter(
+            (g for _, g in path_order), dtype=np.int64, count=len(path_order)
+        )
+        native_done = build_membership(
+            item_table.items,
+            item_table.prefsum,
+            pids,
+            gidx,
+            M,
+            effective_threads(),
+        )
+    if not native_done:
+        for path_id, group_idx in path_order:
+            ids = item_table.path_slice(path_id)
+            if len(ids) == 0:
+                continue
+            M[group_idx >> 5, ids] |= np.uint32(1 << (group_idx & 31))
     if exclude_table is not None:
         excluded = np.flatnonzero(exclude_table.items)
         M[:, excluded] = 0

@@ -104,14 +104,27 @@ class PathSegment:
         return self.id()
 
 
-def _read_all(gfa_file: str) -> bytes:
+def _read_all(gfa_file: str):
+    """Whole-file buffer: gzip-decompressed bytes, or a read-only mmap for
+    plain files (no copy; repeat runs hit the page cache). Falls back to a
+    bytes copy when the file doesn't end in a newline."""
     log.info("loading graph from %s", gfa_file)
     if gfa_file.endswith(".gz"):
         log.info("assuming that %s is gzip compressed..", gfa_file)
         with gzip.open(gfa_file, "rb") as f:
             return f.read()
     with open(gfa_file, "rb") as f:
-        return f.read()
+        try:
+            import mmap
+
+            mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+        except (ValueError, OSError):
+            return f.read()
+        if len(mm) and mm[-1:] == b"\n":
+            return mm
+        data = bytes(mm)
+        mm.close()
+        return data
 
 
 def _parse_ints_from_spans(
@@ -207,7 +220,7 @@ class GraphStorage:
         self.gfa_file = gfa_file
         self.is_nice = nice
         data = _read_all(gfa_file)
-        if data and not data.endswith(b"\n"):
+        if isinstance(data, bytes) and data and not data.endswith(b"\n"):
             data += b"\n"
         self._data = data
         buf = np.frombuffer(data, dtype=np.uint8)

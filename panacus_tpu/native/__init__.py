@@ -135,6 +135,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, u8p, i64p, u8p,  # edges_u, o1, v, o2
         u32p,            # degree
     ]
+    lib.pt_build_membership.restype = i64
+    lib.pt_build_membership.argtypes = [
+        i64p, i64p,       # items, prefsum
+        i64p, i64p, i64,  # path_ids, group_idx, n_entries
+        u32p, i64, i64,   # M, n_words, n_items_pad
+        ctypes.c_int32,   # n_threads
+    ]
     lib.pt_lookup_pairs.restype = i64
     lib.pt_lookup_pairs.argtypes = [
         i64p, u8p, i64p, u8p, i64,  # u, o1, v, o2, n
@@ -558,6 +565,42 @@ def index_edges(
         degree,
         n - n_unique,
     )
+
+
+def build_membership(
+    items: np.ndarray,
+    prefsum: np.ndarray,
+    path_ids: np.ndarray,
+    group_idx: np.ndarray,
+    M: np.ndarray,
+    n_threads: int = 0,
+) -> bool:
+    """Threaded scatter-OR of (path, group) blocks into the zeroed packed
+    membership matrix M[n_words, n_items_pad]. Returns False if the native
+    path is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    it_c = np.ascontiguousarray(items, dtype=np.int64)
+    pf_c = np.ascontiguousarray(prefsum, dtype=np.int64)
+    pi_c = np.ascontiguousarray(path_ids, dtype=np.int64)
+    gi_c = np.ascontiguousarray(group_idx, dtype=np.int64)
+    rc = lib.pt_build_membership(
+        it_c.ctypes.data_as(i64p),
+        pf_c.ctypes.data_as(i64p),
+        pi_c.ctypes.data_as(i64p),
+        gi_c.ctypes.data_as(i64p),
+        ctypes.c_int64(len(pi_c)),
+        M.ctypes.data_as(u32p),
+        ctypes.c_int64(M.shape[0]),
+        ctypes.c_int64(M.shape[1]),
+        ctypes.c_int32(n_threads),
+    )
+    return rc == 0
 
 
 def lookup_pairs(

@@ -796,6 +796,103 @@ EXPORT int64_t pt_lookup_pairs(
     return 0;
 }
 
+/* ---- membership-matrix builder --------------------------------------------
+ *
+ * OR the group bit of every (path, group) block's item ids into the packed
+ * membership matrix M[n_words][n_items_pad] (the device-side core object).
+ * Threads work-steal blocks; extra threads scatter into private zeroed
+ * copies that are OR-merged at the end (bitwise OR is idempotent and
+ * commutative, so private-copy merge is exact).
+ */
+
+#include <stdlib.h>
+
+typedef struct {
+    const int64_t* items;
+    const int64_t* prefsum;
+    const int64_t* path_ids;
+    const int64_t* group_idx;
+    int64_t n_entries;
+    uint32_t** bufs;   /* per-thread target (bufs[0] == M) */
+    int64_t n_words;
+    int64_t n_items_pad;
+    int64_t next;
+    pthread_mutex_t lock;
+} memb_ctx;
+
+typedef struct {
+    memb_ctx* c;
+    int tid;
+} memb_arg;
+
+static void* memb_worker(void* arg)
+{
+    memb_arg* a = (memb_arg*)arg;
+    memb_ctx* c = a->c;
+    uint32_t* dst = c->bufs[a->tid];
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t e = c->next < c->n_entries ? c->next++ : -1;
+        pthread_mutex_unlock(&c->lock);
+        if (e < 0) return NULL;
+        int64_t p = c->path_ids[e];
+        int64_t g = c->group_idx[e];
+        uint32_t bit = (uint32_t)1 << (g & 31);
+        uint32_t* row = dst + (g >> 5) * c->n_items_pad;
+        int64_t lo = c->prefsum[p], hi = c->prefsum[p + 1];
+        for (int64_t k = lo; k < hi; k++) row[c->items[k]] |= bit;
+    }
+}
+
+/* M must be zeroed. Returns 0, or -1 if scratch allocation failed (caller
+ * falls back). */
+EXPORT int64_t pt_build_membership(
+    const int64_t* items, const int64_t* prefsum,
+    const int64_t* path_ids, const int64_t* group_idx, int64_t n_entries,
+    uint32_t* M, int64_t n_words, int64_t n_items_pad,
+    int32_t n_threads)
+{
+    if (n_threads > (int32_t)n_entries) n_threads = (int32_t)n_entries;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8; /* private copies cost memory */
+    uint32_t* bufs[8];
+    memb_ctx c = {
+        items, prefsum, path_ids, group_idx, n_entries,
+        bufs, n_words, n_items_pad, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    bufs[0] = M;
+    size_t cells = (size_t)n_words * (size_t)n_items_pad;
+    for (int t = 1; t < n_threads; t++) {
+        bufs[t] = (uint32_t*)calloc(cells, sizeof(uint32_t));
+        if (!bufs[t]) {
+            for (int s = 1; s < t; s++) free(bufs[s]);
+            return -1;
+        }
+    }
+    pthread_t tids[8];
+    memb_arg args[8];
+    int spawned = 0;
+    for (int t = 1; t < n_threads; t++) {
+        args[t].c = &c;
+        args[t].tid = t;
+        if (pthread_create(&tids[t], NULL, memb_worker, &args[t]) == 0)
+            spawned = t;
+        else {
+            /* unspawned thread's buffer stays zero; harmless to merge */
+            break;
+        }
+    }
+    memb_arg a0 = {&c, 0};
+    memb_worker(&a0);
+    for (int t = 1; t <= spawned; t++) pthread_join(tids[t], NULL);
+    for (int t = 1; t < n_threads; t++) {
+        uint32_t* src = bufs[t];
+        for (size_t i = 0; i < cells; i++) M[i] |= src[i];
+        free(src);
+    }
+    return 0;
+}
+
 /* OR one group's bit into a membership-matrix row for every visited item,
  * skipping out-of-range ids; returns the bp sum over node_lens. */
 EXPORT uint64_t pt_or_row_bplen(
