@@ -116,14 +116,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_lookup_edges.argtypes = [
         i64p, u8p,       # ids, orient
         i64p, i64,       # prefsum, n_paths
-        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
+        u64p, ctypes.c_int32,  # slots (interleaved), log2_slots
         i64p, i64p,      # out_eids, out_pref
         ctypes.c_int32,  # n_threads
     ]
     lib.pt_build_edge_hash.restype = None
     lib.pt_build_edge_hash.argtypes = [
         u64p, i64p, i64,  # keys, eids, n
-        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
+        u64p, ctypes.c_int32,  # slots (interleaved), log2_slots
     ]
     lib.pt_index_edges.restype = i64
     lib.pt_index_edges.argtypes = [
@@ -131,7 +131,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64,  # starts, ends, n_lines
         ctypes.c_int32, i64,  # mode, n_items
         i64p, i64p, i64,  # sorted_vals, sorted_ids, n_sorted
-        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
+        u64p, ctypes.c_int32,  # slots (interleaved), log2_slots
         i64p, u8p, i64p, u8p,  # edges_u, o1, v, o2
         u32p,            # degree
     ]
@@ -145,7 +145,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_lookup_pairs.restype = i64
     lib.pt_lookup_pairs.argtypes = [
         i64p, u8p, i64p, u8p, i64,  # u, o1, v, o2, n
-        u64p, i64p, ctypes.c_int32,  # slot_keys, slot_eids, log2_slots
+        u64p, ctypes.c_int32,  # slots (interleaved), log2_slots
         i64p,            # out_eids
     ]
     lib.pt_tokenize_batch.argtypes = [
@@ -471,9 +471,10 @@ def scan_lines(buf: np.ndarray, n_threads: int = 0):
 
 
 def build_edge_hash(keys: np.ndarray, eids: np.ndarray):
-    """Open-addressing hash table over canonical edge keys (load <= 0.5).
-    Returns (slot_keys uint64[S], slot_eids int64[S], log2_slots) or None
-    (native unavailable). Valid keys are >= 4, so slot key 0 == empty."""
+    """Open-addressing hash table over canonical edge keys (load <= 0.5),
+    interleaved (key, eid) uint64 pairs so a probe hit costs one cache
+    line. Returns (slots uint64[2*S], log2_slots) or None (native
+    unavailable). Valid keys are >= 4, so slot key 0 == empty."""
     lib = get_lib()
     if lib is None:
         return None
@@ -482,19 +483,17 @@ def build_edge_hash(keys: np.ndarray, eids: np.ndarray):
     n = len(keys)
     log2_slots = max(int(2 * n - 1).bit_length(), 4)
     n_slots = 1 << log2_slots
-    slot_keys = np.zeros(n_slots, dtype=np.uint64)
-    slot_eids = np.zeros(n_slots, dtype=np.int64)
+    slots = np.zeros(2 * n_slots, dtype=np.uint64)
     ks_c = np.ascontiguousarray(keys, dtype=np.uint64)
     es_c = np.ascontiguousarray(eids, dtype=np.int64)
     lib.pt_build_edge_hash(
         ks_c.ctypes.data_as(u64p),
         es_c.ctypes.data_as(i64p),
         ctypes.c_int64(n),
-        slot_keys.ctypes.data_as(u64p),
-        slot_eids.ctypes.data_as(i64p),
+        slots.ctypes.data_as(u64p),
         ctypes.c_int32(log2_slots),
     )
-    return slot_keys, slot_eids, log2_slots
+    return slots, log2_slots
 
 
 def index_edges(
@@ -519,8 +518,7 @@ def index_edges(
     n = len(starts)
     log2_slots = max(int(2 * n - 1).bit_length(), 4)
     n_slots = 1 << log2_slots
-    slot_keys = np.zeros(n_slots, dtype=np.uint64)
-    slot_eids = np.zeros(n_slots, dtype=np.int64)
+    slots = np.zeros(2 * n_slots, dtype=np.uint64)
     edges_u = np.empty(n, dtype=np.int64)
     edges_o1 = np.empty(n, dtype=np.uint8)
     edges_v = np.empty(n, dtype=np.int64)
@@ -544,8 +542,7 @@ def index_edges(
         sv_c.ctypes.data_as(i64p),
         si_c.ctypes.data_as(i64p),
         ctypes.c_int64(len(sv_c)),
-        slot_keys.ctypes.data_as(u64p),
-        slot_eids.ctypes.data_as(i64p),
+        slots.ctypes.data_as(u64p),
         ctypes.c_int32(log2_slots),
         edges_u.ctypes.data_as(i64p),
         _as_u8p(edges_o1),
@@ -557,7 +554,7 @@ def index_edges(
         raise ValueError(f"malformed L line or unknown node (line {-rc - 1})")
     n_unique = int(rc)
     return (
-        (slot_keys, slot_eids, log2_slots),
+        (slots, log2_slots),
         edges_u[:n_unique],
         edges_o1[:n_unique],
         edges_v[:n_unique],
@@ -616,7 +613,7 @@ def lookup_pairs(
     lib = get_lib()
     if lib is None or edge_hash is None:
         return None
-    slot_keys, slot_eids, log2_slots = edge_hash
+    slots, log2_slots = edge_hash
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     n = len(u)
@@ -631,8 +628,7 @@ def lookup_pairs(
         v_c.ctypes.data_as(i64p),
         _as_u8p(o2_c),
         ctypes.c_int64(n),
-        slot_keys.ctypes.data_as(u64p),
-        slot_eids.ctypes.data_as(i64p),
+        slots.ctypes.data_as(u64p),
         ctypes.c_int32(log2_slots),
         out.ctypes.data_as(i64p),
     )
@@ -659,7 +655,7 @@ def lookup_edges(
     lib = get_lib()
     if lib is None or edge_hash is None:
         return None
-    slot_keys, slot_eids, log2_slots = edge_hash
+    slots, log2_slots = edge_hash
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     n_paths = len(prefsum) - 1
@@ -677,8 +673,7 @@ def lookup_edges(
         _as_u8p(or_c),
         pf_c.ctypes.data_as(i64p),
         ctypes.c_int64(n_paths),
-        slot_keys.ctypes.data_as(u64p),
-        slot_eids.ctypes.data_as(i64p),
+        slots.ctypes.data_as(u64p),
         ctypes.c_int32(log2_slots),
         out.ctypes.data_as(i64p),
         e_pref.ctypes.data_as(i64p),

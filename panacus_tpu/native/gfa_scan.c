@@ -555,18 +555,20 @@ EXPORT void pt_scan_fill(
 
 #define EDGE_HASH_MUL 0x9E3779B97F4A7C15ull
 
-/* Populate a zeroed slot table (n_slots = 1 << log2_slots, must exceed n). */
+/* Populate a zeroed slot table (n_slots = 1 << log2_slots, must exceed n).
+ * Slots are interleaved (key, eid) uint64 pairs so a probe that hits costs
+ * one cache line, not two. */
 EXPORT void pt_build_edge_hash(
     const uint64_t* keys, const int64_t* eids, int64_t n,
-    uint64_t* slot_keys, int64_t* slot_eids, int32_t log2_slots)
+    uint64_t* slots, int32_t log2_slots)
 {
     uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
     int shift = 64 - log2_slots;
     for (int64_t i = 0; i < n; i++) {
         uint64_t s = (keys[i] * EDGE_HASH_MUL) >> shift;
-        while (slot_keys[s]) s = (s + 1) & mask;
-        slot_keys[s] = keys[i];
-        slot_eids[s] = eids[i];
+        while (slots[2 * s]) s = (s + 1) & mask;
+        slots[2 * s] = keys[i];
+        slots[2 * s + 1] = (uint64_t)eids[i];
     }
 }
 
@@ -575,8 +577,7 @@ typedef struct {
     const uint8_t* orient;
     const int64_t* prefsum;
     int64_t n_paths;
-    const uint64_t* slot_keys;
-    const int64_t* slot_eids;
+    const uint64_t* slots;
     int32_t log2_slots;
     int64_t* out_eids;
     const int64_t* out_pref;
@@ -611,7 +612,7 @@ static void* edge_worker(void* arg)
             uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
             uint64_t s = (key * EDGE_HASH_MUL) >> shift;
             uint64_t sk;
-            while ((sk = c->slot_keys[s]) != key) {
+            while ((sk = c->slots[2 * s]) != key) {
                 if (!sk) {
                     pthread_mutex_lock(&c->lock);
                     if (!c->err) c->err = -(k + 1);
@@ -620,7 +621,7 @@ static void* edge_worker(void* arg)
                 }
                 s = (s + 1) & mask;
             }
-            *out++ = c->slot_eids[s];
+            *out++ = (int64_t)c->slots[2 * s + 1];
         }
     }
 }
@@ -629,11 +630,11 @@ static void* edge_worker(void* arg)
 EXPORT int64_t pt_lookup_edges(
     const int64_t* ids, const uint8_t* orient,
     const int64_t* prefsum, int64_t n_paths,
-    const uint64_t* slot_keys, const int64_t* slot_eids, int32_t log2_slots,
+    const uint64_t* slots, int32_t log2_slots,
     int64_t* out_eids, const int64_t* out_pref, int32_t n_threads)
 {
     edge_ctx c = {
-        ids, orient, prefsum, n_paths, slot_keys, slot_eids, log2_slots,
+        ids, orient, prefsum, n_paths, slots, log2_slots,
         out_eids, out_pref, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     if (n_threads > (int32_t)n_paths) n_threads = (int32_t)n_paths;
@@ -664,7 +665,8 @@ EXPORT int64_t pt_lookup_edges(
  * graph.rs:276-306). Replaces parse + np.unique + argsort host passes and
  * leaves the lookup hash table ready for the path itemizer.
  *
- * slot_keys/slot_eids must be zeroed, n_slots = 1 << log2_slots > 2*n_lines.
+ * slots (interleaved key/eid pairs) must be zeroed,
+ * n_slots = 1 << log2_slots > 2*n_lines.
  * edges_* have capacity n_lines; degree has n_items+1 zeroed entries.
  * Returns the unique-edge count, or -(line_idx+1) on a malformed line or
  * unknown node name.
@@ -674,7 +676,7 @@ EXPORT int64_t pt_index_edges(
     const int64_t* starts, const int64_t* ends, int64_t n_lines,
     int32_t mode, int64_t n_items,
     const int64_t* sorted_vals, const int64_t* sorted_ids, int64_t n_sorted,
-    uint64_t* slot_keys, int64_t* slot_eids, int32_t log2_slots,
+    uint64_t* slots, int32_t log2_slots,
     int64_t* edges_u, uint8_t* edges_o1,
     int64_t* edges_v, uint8_t* edges_o2,
     uint32_t* degree)
@@ -750,10 +752,10 @@ EXPORT int64_t pt_index_edges(
         uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
         uint64_t s = (key * EDGE_HASH_MUL) >> shift;
         uint64_t sk;
-        while ((sk = slot_keys[s]) != 0 && sk != key) s = (s + 1) & mask;
+        while ((sk = slots[2 * s]) != 0 && sk != key) s = (s + 1) & mask;
         if (sk == 0) {
-            slot_keys[s] = key;
-            slot_eids[s] = ++n_unique;
+            slots[2 * s] = key;
+            slots[2 * s + 1] = (uint64_t)++n_unique;
             edges_u[n_unique - 1] = (int64_t)cu;
             edges_o1[n_unique - 1] = (uint8_t)co1;
             edges_v[n_unique - 1] = (int64_t)cv;
@@ -770,7 +772,7 @@ EXPORT int64_t pt_index_edges(
 EXPORT int64_t pt_lookup_pairs(
     const int64_t* u, const uint8_t* o1,
     const int64_t* v, const uint8_t* o2, int64_t n,
-    const uint64_t* slot_keys, const int64_t* slot_eids, int32_t log2_slots,
+    const uint64_t* slots, int32_t log2_slots,
     int64_t* out_eids)
 {
     uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
@@ -787,11 +789,11 @@ EXPORT int64_t pt_lookup_pairs(
         uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
         uint64_t s = (key * EDGE_HASH_MUL) >> shift;
         uint64_t sk;
-        while ((sk = slot_keys[s]) != key) {
+        while ((sk = slots[2 * s]) != key) {
             if (!sk) return -(i + 1);
             s = (s + 1) & mask;
         }
-        out_eids[i] = slot_eids[s];
+        out_eids[i] = (int64_t)slots[2 * s + 1];
     }
     return 0;
 }
