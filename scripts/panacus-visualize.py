@@ -74,7 +74,13 @@ def main() -> None:
         description="visualize panacus hist/growth/ordered-growth tables"
     )
     ap.add_argument("tsv", nargs="+", help="panacus TSV output file(s)")
-    ap.add_argument("-o", "--output", default="out.pdf")
+    ap.add_argument(
+        "-o",
+        "--output",
+        default=None,
+        help="output file; default: write the plot to stdout "
+        "(reference-compatible `panacus-visualize t.tsv > t.pdf` usage)",
+    )
     ap.add_argument(
         "-e",
         "--estimate-growth-params",
@@ -82,14 +88,38 @@ def main() -> None:
         help="fit and annotate Heaps'-law k*m^gamma on growth curves",
     )
     ap.add_argument(
+        "-l",
+        "--legend-location",
+        default="best",
+        help='matplotlib legend location, e.g. "upper left"',
+    )
+    ap.add_argument(
+        "-f",
+        "--format",
+        default=None,
+        choices=["pdf", "png", "svg"],
+        help="output format (default: from -o extension, else pdf)",
+    )
+    ap.add_argument(
         "-s",
         "--split-subfigures",
         action="store_true",
         help="one subplot per column instead of overlaying growth curves",
     )
+    ap.add_argument(
+        "--split-prefix",
+        default=None,
+        help="with -s: write each panel to its own file "
+        "<prefix><i>.<format> instead of one multi-panel figure",
+    )
     ap.add_argument("--f-width", type=float, default=10.0)
     ap.add_argument("--f-height", type=float, default=6.0)
     args = ap.parse_args()
+    fmt = args.format or (
+        args.output.rsplit(".", 1)[-1].lower()
+        if args.output and "." in args.output
+        else "pdf"
+    )
 
     import matplotlib
 
@@ -115,17 +145,7 @@ def main() -> None:
     if not panels:
         raise SystemExit("no plottable columns found")
 
-    n = len(panels)
-    ncols = min(n, 2)
-    nrows = (n + ncols - 1) // ncols
-    fig, axes = plt.subplots(
-        nrows,
-        ncols,
-        figsize=(args.f_width, args.f_height * nrows / 2 + 2),
-        squeeze=False,
-    )
-    for k, (path, index, kind, cols) in enumerate(panels):
-        ax = axes[k // ncols][k % ncols]
+    def draw_panel(ax, path, index, kind, cols):
         if kind == "hist":
             c = cols[0]
             x = np.arange(len(c["values"]))
@@ -169,13 +189,42 @@ def main() -> None:
                 ax.set_xticklabels(labels, rotation=60, fontsize=6)
             ax.set_xlabel("taxa")
             ax.set_ylabel(f"#{cols[0]['count']}s")
-            ax.legend(fontsize=7)
+            ax.legend(fontsize=7, loc=args.legend_location)
             ax.set_title(path.split("/")[-1], fontsize=10)
+
+    def save(fig, dest):
+        fig.tight_layout()
+        if dest is None:
+            fig.savefig(sys.stdout.buffer, dpi=150, format=fmt)
+            sys.stderr.write(f"wrote {fmt} to stdout\n")
+        else:
+            fig.savefig(dest, dpi=150, format=fmt)
+            sys.stderr.write(f"wrote {dest}\n")
+
+    if args.split_prefix is not None:
+        for k, (path, index, kind, cols) in enumerate(panels):
+            fig, ax = plt.subplots(
+                figsize=(args.f_width, args.f_height), squeeze=True
+            )
+            draw_panel(ax, path, index, kind, cols)
+            save(fig, f"{args.split_prefix}{k}.{fmt}")
+            plt.close(fig)
+        return
+
+    n = len(panels)
+    ncols = min(n, 2)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(
+        nrows,
+        ncols,
+        figsize=(args.f_width, args.f_height * nrows / 2 + 2),
+        squeeze=False,
+    )
+    for k, (path, index, kind, cols) in enumerate(panels):
+        draw_panel(axes[k // ncols][k % ncols], path, index, kind, cols)
     for k in range(n, nrows * ncols):
         axes[k // ncols][k % ncols].axis("off")
-    fig.tight_layout()
-    fig.savefig(args.output, dpi=150)
-    sys.stderr.write(f"wrote {args.output}\n")
+    save(fig, args.output)
 
 
 if __name__ == "__main__":
