@@ -56,7 +56,7 @@ def make_graph(path: str) -> None:
 
     with open(path, "wb") as f:
         f.write(b"H\tVN:Z:1.0\n")
-        names = np.arange(1, N_NODES + 1).astype("S8")
+        names = np.arange(1, N_NODES + 1).astype("S12")
         seqs = np.array(
             [seq_pool[:k].encode() for k in range(1, 17)], dtype="S16"
         )[lens - 1]
@@ -75,7 +75,7 @@ def make_graph(path: str) -> None:
         for p in range(N_PATHS):
             visits = 1 + np.cumsum(gap_pool[p : p + N_NODES])
             visits = visits[: np.searchsorted(visits, N_NODES, side="right")]
-            toks = np.char.add(visits.astype("S8"), b"+")
+            toks = np.char.add(visits.astype("S12"), b"+")
             f.write(f"P\tsample{p}#1#chr1\t".encode())
             f.write(join_lines(toks, sep=b",")[:-1])
             f.write(b"\t*\n")

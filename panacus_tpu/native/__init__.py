@@ -11,6 +11,7 @@ import ctypes
 import hashlib
 import logging
 import os
+import platform
 import subprocess
 import sys
 from typing import Optional, Tuple
@@ -30,7 +31,21 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             src = f.read()
     except OSError:
         return None
-    tag = hashlib.sha256(src + b"|march-native-v1").hexdigest()[:16]
+    # key the cache by CPU identity too: -march=native artifacts must never
+    # be served to a different microarchitecture (shared ~/.cache, container
+    # images) — a stale .so would SIGILL instead of falling back
+    cpu_id = platform.machine()
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    cpu_id += hashlib.sha256(line).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256(
+        src + b"|march-native-v1|" + cpu_id.encode()
+    ).hexdigest()[:16]
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "panacus_tpu",
@@ -634,9 +649,16 @@ def lookup_pairs(
     )
     if rc < 0:
         i = -rc - 1
+        # report the canonical orientation, same as the numpy fallback
+        # (gfa.edge_ids_for_pairs)
+        cu, cv = int(u_c[i]), int(v_c[i])
+        co1, co2 = int(o1_c[i]), int(o2_c[i])
+        if cu > cv or (cu == cv and co1):
+            cu, cv = cv, cu
+            co1, co2 = co2 ^ 1, co1 ^ 1
         raise ValueError(
-            f"unknown edge {'<' if o1_c[i] else '>'}{u_c[i]}"
-            f"{'<' if o2_c[i] else '>'}{v_c[i]}"
+            f"unknown edge {'<' if co1 else '>'}{cu}"
+            f"{'<' if co2 else '>'}{cv}"
         )
     return out
 

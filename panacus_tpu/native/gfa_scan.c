@@ -555,6 +555,38 @@ EXPORT void pt_scan_fill(
 
 #define EDGE_HASH_MUL 0x9E3779B97F4A7C15ull
 
+/* Canonical edge key (reference: Edge::canonical
+ * src/graph_broker/graph.rs:142-148): flip when u > v, or u == v and o1
+ * is backward; pack as (u<<33)|(v<<2)|(o1<<1)|o2. The ONE definition all
+ * native index/lookup paths share. */
+static inline uint64_t edge_canonical_key(
+    int64_t u, uint8_t o1, int64_t v, uint8_t o2)
+{
+    uint64_t cu, cv, co1, co2;
+    if (u > v || (u == v && o1)) {
+        cu = (uint64_t)v; co1 = o2 ^ 1u;
+        cv = (uint64_t)u; co2 = o1 ^ 1u;
+    } else {
+        cu = (uint64_t)u; co1 = o1;
+        cv = (uint64_t)v; co2 = o2;
+    }
+    return (cu << 33) | (cv << 2) | (co1 << 1) | co2;
+}
+
+/* Probe the interleaved (key, eid) slot table. Returns the eid, or 0 if
+ * the key is absent (valid eids are >= 1). */
+static inline uint64_t edge_hash_get(
+    const uint64_t* slots, uint64_t mask, int shift, uint64_t key)
+{
+    uint64_t s = (key * EDGE_HASH_MUL) >> shift;
+    uint64_t sk;
+    while ((sk = slots[2 * s]) != key) {
+        if (!sk) return 0;
+        s = (s + 1) & mask;
+    }
+    return slots[2 * s + 1];
+}
+
 /* Populate a zeroed slot table (n_slots = 1 << log2_slots, must exceed n).
  * Slots are interleaved (key, eid) uint64 pairs so a probe that hits costs
  * one cache line, not two. */
@@ -599,29 +631,16 @@ static void* edge_worker(void* arg)
         int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
         int64_t* out = c->out_eids + c->out_pref[p];
         for (int64_t k = a; k + 1 < b; k++) {
-            int64_t u = c->ids[k], v = c->ids[k + 1];
-            uint8_t o1 = c->orient[k], o2 = c->orient[k + 1];
-            uint64_t cu, cv, co1, co2;
-            if (u > v || (u == v && o1)) {
-                cu = (uint64_t)v; co1 = o2 ^ 1u;
-                cv = (uint64_t)u; co2 = o1 ^ 1u;
-            } else {
-                cu = (uint64_t)u; co1 = o1;
-                cv = (uint64_t)v; co2 = o2;
+            uint64_t key = edge_canonical_key(
+                c->ids[k], c->orient[k], c->ids[k + 1], c->orient[k + 1]);
+            uint64_t eid = edge_hash_get(c->slots, mask, shift, key);
+            if (!eid) {
+                pthread_mutex_lock(&c->lock);
+                if (!c->err) c->err = -(k + 1);
+                pthread_mutex_unlock(&c->lock);
+                return NULL;
             }
-            uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
-            uint64_t s = (key * EDGE_HASH_MUL) >> shift;
-            uint64_t sk;
-            while ((sk = c->slots[2 * s]) != key) {
-                if (!sk) {
-                    pthread_mutex_lock(&c->lock);
-                    if (!c->err) c->err = -(k + 1);
-                    pthread_mutex_unlock(&c->lock);
-                    return NULL;
-                }
-                s = (s + 1) & mask;
-            }
-            *out++ = (int64_t)c->slots[2 * s + 1];
+            *out++ = (int64_t)eid;
         }
     }
 }
@@ -653,6 +672,21 @@ EXPORT int64_t pt_lookup_edges(
     edge_worker(&c);
     for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
     return c.err;
+}
+
+/* Sorted-name-table binary search; returns the node id or -1. */
+static inline int64_t name_to_id(
+    const int64_t* sorted_vals, const int64_t* sorted_ids,
+    int64_t n_sorted, int64_t val)
+{
+    int64_t lo = 0, hi = n_sorted;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (sorted_vals[mid] < val) lo = mid + 1;
+        else hi = mid;
+    }
+    if (lo >= n_sorted || sorted_vals[lo] != val) return -1;
+    return sorted_ids[lo];
 }
 
 /* ---- L-line edge indexer ---------------------------------------------------
@@ -722,44 +756,24 @@ EXPORT int64_t pt_index_edges(
             u = uv;
             v = vv;
         } else {
-            int64_t lo = 0, hi = n_sorted;
-            while (lo < hi) {
-                int64_t mid = (lo + hi) >> 1;
-                if (sorted_vals[mid] < uv) lo = mid + 1;
-                else hi = mid;
-            }
-            if (lo >= n_sorted || sorted_vals[lo] != uv) return -(k + 1);
-            u = sorted_ids[lo];
-            lo = 0;
-            hi = n_sorted;
-            while (lo < hi) {
-                int64_t mid = (lo + hi) >> 1;
-                if (sorted_vals[mid] < vv) lo = mid + 1;
-                else hi = mid;
-            }
-            if (lo >= n_sorted || sorted_vals[lo] != vv) return -(k + 1);
-            v = sorted_ids[lo];
+            u = name_to_id(sorted_vals, sorted_ids, n_sorted, uv);
+            v = name_to_id(sorted_vals, sorted_ids, n_sorted, vv);
+            if (u < 0 || v < 0) return -(k + 1);
         }
 
-        uint64_t cu, cv, co1, co2;
-        if (u > v || (u == v && o1)) {
-            cu = (uint64_t)v; co1 = o2 ^ 1u;
-            cv = (uint64_t)u; co2 = o1 ^ 1u;
-        } else {
-            cu = (uint64_t)u; co1 = o1;
-            cv = (uint64_t)v; co2 = o2;
-        }
-        uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
+        uint64_t key = edge_canonical_key(u, o1, v, o2);
         uint64_t s = (key * EDGE_HASH_MUL) >> shift;
         uint64_t sk;
         while ((sk = slots[2 * s]) != 0 && sk != key) s = (s + 1) & mask;
         if (sk == 0) {
             slots[2 * s] = key;
             slots[2 * s + 1] = (uint64_t)++n_unique;
+            uint64_t cu = key >> 33;
+            uint64_t cv = (key >> 2) & ((1ull << 31) - 1);
             edges_u[n_unique - 1] = (int64_t)cu;
-            edges_o1[n_unique - 1] = (uint8_t)co1;
+            edges_o1[n_unique - 1] = (uint8_t)((key >> 1) & 1u);
             edges_v[n_unique - 1] = (int64_t)cv;
-            edges_o2[n_unique - 1] = (uint8_t)co2;
+            edges_o2[n_unique - 1] = (uint8_t)(key & 1u);
             degree[cu]++;
             degree[cv]++;
         }
@@ -778,22 +792,10 @@ EXPORT int64_t pt_lookup_pairs(
     uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
     int shift = 64 - log2_slots;
     for (int64_t i = 0; i < n; i++) {
-        uint64_t cu, cv, co1, co2;
-        if (u[i] > v[i] || (u[i] == v[i] && o1[i])) {
-            cu = (uint64_t)v[i]; co1 = o2[i] ^ 1u;
-            cv = (uint64_t)u[i]; co2 = o1[i] ^ 1u;
-        } else {
-            cu = (uint64_t)u[i]; co1 = o1[i];
-            cv = (uint64_t)v[i]; co2 = o2[i];
-        }
-        uint64_t key = (cu << 33) | (cv << 2) | (co1 << 1) | co2;
-        uint64_t s = (key * EDGE_HASH_MUL) >> shift;
-        uint64_t sk;
-        while ((sk = slots[2 * s]) != key) {
-            if (!sk) return -(i + 1);
-            s = (s + 1) & mask;
-        }
-        out_eids[i] = (int64_t)slots[2 * s + 1];
+        uint64_t key = edge_canonical_key(u[i], o1[i], v[i], o2[i]);
+        uint64_t eid = edge_hash_get(slots, mask, shift, key);
+        if (!eid) return -(i + 1);
+        out_eids[i] = (int64_t)eid;
     }
     return 0;
 }
@@ -805,9 +807,12 @@ EXPORT int64_t pt_lookup_pairs(
  * Threads work-steal blocks; extra threads scatter into private zeroed
  * copies that are OR-merged at the end (bitwise OR is idempotent and
  * commutative, so private-copy merge is exact).
+ * Threads own disjoint item-id (column) ranges and each walks every
+ * (path, group) block, ORing only the ids that fall in its range: writes
+ * are disjoint by construction, so no private copies, no merge pass, and
+ * no extra memory — each thread re-reads the (shared, cached) items
+ * array instead.
  */
-
-#include <stdlib.h>
 
 typedef struct {
     const int64_t* items;
@@ -815,11 +820,10 @@ typedef struct {
     const int64_t* path_ids;
     const int64_t* group_idx;
     int64_t n_entries;
-    uint32_t** bufs;   /* per-thread target (bufs[0] == M) */
+    uint32_t* M;
     int64_t n_words;
     int64_t n_items_pad;
-    int64_t next;
-    pthread_mutex_t lock;
+    int32_t n_threads;
 } memb_ctx;
 
 typedef struct {
@@ -831,23 +835,25 @@ static void* memb_worker(void* arg)
 {
     memb_arg* a = (memb_arg*)arg;
     memb_ctx* c = a->c;
-    uint32_t* dst = c->bufs[a->tid];
-    for (;;) {
-        pthread_mutex_lock(&c->lock);
-        int64_t e = c->next < c->n_entries ? c->next++ : -1;
-        pthread_mutex_unlock(&c->lock);
-        if (e < 0) return NULL;
+    int64_t chunk = (c->n_items_pad + c->n_threads - 1) / c->n_threads;
+    int64_t col_lo = a->tid * chunk;
+    int64_t col_hi = col_lo + chunk < c->n_items_pad
+        ? col_lo + chunk : c->n_items_pad;
+    for (int64_t e = 0; e < c->n_entries; e++) {
         int64_t p = c->path_ids[e];
         int64_t g = c->group_idx[e];
         uint32_t bit = (uint32_t)1 << (g & 31);
-        uint32_t* row = dst + (g >> 5) * c->n_items_pad;
+        uint32_t* row = c->M + (g >> 5) * c->n_items_pad;
         int64_t lo = c->prefsum[p], hi = c->prefsum[p + 1];
-        for (int64_t k = lo; k < hi; k++) row[c->items[k]] |= bit;
+        for (int64_t k = lo; k < hi; k++) {
+            int64_t id = c->items[k];
+            if (id >= col_lo && id < col_hi) row[id] |= bit;
+        }
     }
+    return NULL;
 }
 
-/* M must be zeroed. Returns 0, or -1 if scratch allocation failed (caller
- * falls back). */
+/* M must be zeroed. Returns 0 (kept as a status code for the caller). */
 EXPORT int64_t pt_build_membership(
     const int64_t* items, const int64_t* prefsum,
     const int64_t* path_ids, const int64_t* group_idx, int64_t n_entries,
@@ -856,23 +862,13 @@ EXPORT int64_t pt_build_membership(
 {
     if (n_threads > (int32_t)n_entries) n_threads = (int32_t)n_entries;
     if (n_threads < 1) n_threads = 1;
-    if (n_threads > 8) n_threads = 8; /* private copies cost memory */
-    uint32_t* bufs[8];
+    if (n_threads > 16) n_threads = 16; /* each thread re-reads items once */
     memb_ctx c = {
         items, prefsum, path_ids, group_idx, n_entries,
-        bufs, n_words, n_items_pad, 0, PTHREAD_MUTEX_INITIALIZER,
+        M, n_words, n_items_pad, n_threads,
     };
-    bufs[0] = M;
-    size_t cells = (size_t)n_words * (size_t)n_items_pad;
-    for (int t = 1; t < n_threads; t++) {
-        bufs[t] = (uint32_t*)calloc(cells, sizeof(uint32_t));
-        if (!bufs[t]) {
-            for (int s = 1; s < t; s++) free(bufs[s]);
-            return -1;
-        }
-    }
-    pthread_t tids[8];
-    memb_arg args[8];
+    pthread_t tids[16];
+    memb_arg args[16];
     int spawned = 0;
     for (int t = 1; t < n_threads; t++) {
         args[t].c = &c;
@@ -880,18 +876,19 @@ EXPORT int64_t pt_build_membership(
         if (pthread_create(&tids[t], NULL, memb_worker, &args[t]) == 0)
             spawned = t;
         else {
-            /* unspawned thread's buffer stays zero; harmless to merge */
+            /* this thread's column range simply goes unwritten by it —
+             * cover it from the main thread afterwards */
             break;
         }
     }
     memb_arg a0 = {&c, 0};
     memb_worker(&a0);
-    for (int t = 1; t <= spawned; t++) pthread_join(tids[t], NULL);
-    for (int t = 1; t < n_threads; t++) {
-        uint32_t* src = bufs[t];
-        for (size_t i = 0; i < cells; i++) M[i] |= src[i];
-        free(src);
+    for (int t = spawned + 1; t < n_threads; t++) {
+        /* ranges of threads that failed to spawn */
+        memb_arg af = {&c, t};
+        memb_worker(&af);
     }
+    for (int t = 1; t <= spawned; t++) pthread_join(tids[t], NULL);
     return 0;
 }
 

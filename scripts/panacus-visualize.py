@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Dict, List, Optional, Tuple
 
@@ -115,11 +116,12 @@ def main() -> None:
     ap.add_argument("--f-width", type=float, default=10.0)
     ap.add_argument("--f-height", type=float, default=6.0)
     args = ap.parse_args()
-    fmt = args.format or (
-        args.output.rsplit(".", 1)[-1].lower()
-        if args.output and "." in args.output
-        else "pdf"
+    ext = (
+        os.path.splitext(os.path.basename(args.output))[1][1:].lower()
+        if args.output
+        else ""
     )
+    fmt = args.format or (ext if ext in ("pdf", "png", "svg") else "pdf")
 
     import matplotlib
 
