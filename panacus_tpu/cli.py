@@ -32,26 +32,118 @@ CLUSTER_CHOICES = [
 ]
 
 
-def _add_common_graph_args(p: argparse.ArgumentParser, gfa_meta="GFA_FILE"):
-    p.add_argument("gfa_file", metavar=gfa_meta)
-    p.add_argument("-s", "--subset", metavar="FILE", default="")
-    p.add_argument("-e", "--exclude", metavar="FILE", default="")
-    p.add_argument("-g", "--groupby", metavar="FILE", default="")
-    p.add_argument("-H", "--groupby-haplotype", action="store_true")
-    p.add_argument("-S", "--groupby-sample", action="store_true")
+_GFA_HELP = (
+    "graph in GFA1 format, accepts also compressed (.gz) file"
+)
+
+
+def _add_common_graph_args(
+    p: argparse.ArgumentParser, gfa_meta="GFA_FILE", gfa_help=_GFA_HELP
+):
+    p.add_argument("gfa_file", metavar=gfa_meta, help=gfa_help)
+    p.add_argument(
+        "-s",
+        "--subset",
+        metavar="FILE",
+        default="",
+        help="Produce counts by subsetting the graph to a given list of "
+        "paths (1-column list) or path coordinates (3- or 12-column BED "
+        "file)",
+    )
+    p.add_argument(
+        "-e",
+        "--exclude",
+        metavar="FILE",
+        default="",
+        help="Exclude bp/node/edge in growth count that intersect with "
+        "paths (1-column list) or path coordinates (3- or 12-column "
+        "BED-file) provided by the given file; all intersecting "
+        "bp/node/edge will be excluded also in other paths not part of "
+        "the given list",
+    )
+    p.add_argument(
+        "-g",
+        "--groupby",
+        metavar="FILE",
+        default="",
+        help="Merge counts from paths by path-group mapping from given "
+        "tab-separated two-column file",
+    )
+    p.add_argument(
+        "-H",
+        "--groupby-haplotype",
+        action="store_true",
+        help="Merge counts from paths belonging to same haplotype",
+    )
+    p.add_argument(
+        "-S",
+        "--groupby-sample",
+        action="store_true",
+        help="Merge counts from paths belonging to same sample",
+    )
+
+
+_ORDER_HELP = (
+    "The ordered histogram will be produced according to order of "
+    "paths/groups in the supplied file (1-column list). If this option is "
+    "not used, the order is determined by the rank of paths/groups in the "
+    "subset list, and if that option is not used, the order is determined "
+    "by the rank of paths/groups in the GFA file."
+)
+_COUNT_HELP = "Graph quantity to be counted"
+_TOTAL_HELP = "Summarize by totaling presence/absence over all groups"
 
 
 def _add_threshold_args(p: argparse.ArgumentParser):
-    p.add_argument("-l", "--coverage", default="1")
-    p.add_argument("-q", "--quorum", default="0")
+    p.add_argument(
+        "-l",
+        "--coverage",
+        default="1",
+        help="Ignore all countables with a coverage lower than the "
+        "specified threshold. The coverage of a countable corresponds to "
+        "the number of path/walk that contain it. Repeated appearances of "
+        "a countable in the same path/walk are counted as one. You can "
+        "pass a comma-separated list of coverage thresholds, each one "
+        "will produce a separated growth curve (e.g., --coverage 2,3). "
+        "Use --quorum to set a threshold in conjunction with each "
+        "coverage (e.g., --quorum 0.5,0.9)",
+    )
+    p.add_argument(
+        "-q",
+        "--quorum",
+        default="0",
+        help="Unlike the --coverage parameter, which specifies a minimum "
+        "constant number of paths for all growth point m (1 <= m <= "
+        "num_paths), --quorum adjusts the threshold based on m. At each "
+        "m, a countable is counted in the average growth if the countable "
+        "is contained in at least floor(m*quorum) paths. Example: A "
+        "quorum of 0.9 requires a countable to be in 90%% of paths for "
+        "each subset size m. A quorum of 1 (100%%) requires presence in "
+        "all paths of the subset, corresponding to the core. Default: 0, "
+        "a countable counts if it is present in any path at each growth "
+        "point. Specify multiple quorum values with a comma-separated "
+        "list (e.g., --quorum 0.5,0.9).",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
     # global flags usable before or after the subcommand, like clap's
     # .global(true) args (reference: src/lib.rs:94-111)
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("-t", "--threads", type=int, default=0)
-    common.add_argument("-v", "--verbose", action="store_true")
+    common.add_argument(
+        "-t",
+        "--threads",
+        type=int,
+        default=0,
+        metavar="COUNT",
+        help="Set the number of threads used (default: use all threads)",
+    )
+    common.add_argument(
+        "-v",
+        "--verbose",
+        action="store_true",
+        help="Emit debug-level log output",
+    )
 
     ap = argparse.ArgumentParser(prog="panacus", parents=[common])
     subparsers = ap.add_subparsers(dest="command", required=True)
@@ -64,28 +156,69 @@ def build_parser() -> argparse.ArgumentParser:
     sub = _Sub()
 
     p = sub.add_parser("render", help="Render an html report from JSON result files")
-    p.add_argument("json_files", nargs="+")
+    p.add_argument(
+        "json_files", nargs="+", help="Specifies one or more JSON files"
+    )
 
     p = sub.add_parser("report", help="Create an html report from a YAML config file")
-    p.add_argument("yaml_file", nargs="?")
-    p.add_argument("-d", "--dry-run", action="store_true")
-    p.add_argument("-j", "--json", action="store_true")
+    p.add_argument("yaml_file", nargs="?", help="Specifies yaml config")
+    p.add_argument(
+        "-d",
+        "--dry-run",
+        action="store_true",
+        help="If set, no actual computation is done, only the planned "
+        "computation will be shown",
+    )
+    p.add_argument(
+        "-j",
+        "--json",
+        action="store_true",
+        help="Instead of an HTML report, a json result will be delivered. "
+        "These can later be combined and rendered as a single HTML.",
+    )
 
     p = sub.add_parser("hist", help="Calculate coverage histogram")
     _add_common_graph_args(p)
-    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES)
+    p.add_argument(
+        "-c",
+        "--count",
+        default="node",
+        choices=COUNT_CHOICES,
+        help=_COUNT_HELP,
+    )
 
     p = sub.add_parser("growth", help="Calculate growth curve from coverage histogram")
-    _add_common_graph_args(p, gfa_meta="FILE")
-    p.add_argument("-a", "--hist", action="store_true")
+    _add_common_graph_args(
+        p,
+        gfa_meta="FILE",
+        gfa_help="EITHER graph in GFA1 format, accepts also compressed "
+        "(.gz) file OR a histogram as a .tsv",
+    )
+    p.add_argument(
+        "-a",
+        "--hist",
+        action="store_true",
+        help="Also include histogram in output (ONLY IN GFA MODE)",
+    )
     _add_threshold_args(p)
 
     p = sub.add_parser(
         "histgrowth", help="Run hist and growth. Return the growth curve"
     )
     _add_common_graph_args(p)
-    p.add_argument("-a", "--hist", action="store_true")
-    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES)
+    p.add_argument(
+        "-a",
+        "--hist",
+        action="store_true",
+        help="Also include histogram in output",
+    )
+    p.add_argument(
+        "-c",
+        "--count",
+        default="node",
+        choices=COUNT_CHOICES,
+        help=_COUNT_HELP,
+    )
     _add_threshold_args(p)
 
     p = sub.add_parser("info", help="Return general graph and paths info")
@@ -96,28 +229,56 @@ def build_parser() -> argparse.ArgumentParser:
         help="Calculate growth curve based on group file order",
     )
     _add_common_graph_args(p)
-    p.add_argument("-O", "--order", metavar="FILE")
-    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES_NO_ALL)
+    p.add_argument("-O", "--order", metavar="FILE", help=_ORDER_HELP)
+    p.add_argument(
+        "-c",
+        "--count",
+        default="node",
+        choices=COUNT_CHOICES_NO_ALL,
+        help=_COUNT_HELP,
+    )
     _add_threshold_args(p)
 
     p = sub.add_parser("table", help="Compute coverage table for count type")
     _add_common_graph_args(p)
-    p.add_argument("-a", "--total", action="store_true")
-    p.add_argument("-O", "--order", metavar="FILE")
-    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES_NO_ALL)
+    p.add_argument("-a", "--total", action="store_true", help=_TOTAL_HELP)
+    p.add_argument("-O", "--order", metavar="FILE", help=_ORDER_HELP)
+    p.add_argument(
+        "-c",
+        "--count",
+        default="node",
+        choices=COUNT_CHOICES_NO_ALL,
+        help=_COUNT_HELP,
+    )
 
     p = sub.add_parser(
         "node-distribution", help="Return hexbin node distribution list"
     )
-    p.add_argument("gfa_file")
-    p.add_argument("-r", "--radius", type=int, default=20)
+    p.add_argument("gfa_file", metavar="GFA_FILE", help=_GFA_HELP)
+    p.add_argument(
+        "-r",
+        "--radius",
+        type=int,
+        default=20,
+        help="Radius of the hexagons used to bin",
+    )
 
     p = sub.add_parser("similarity", help="Compute similarity table for count type")
     _add_common_graph_args(p)
-    p.add_argument("-a", "--total", action="store_true")
-    p.add_argument("-c", "--count", default="node", choices=COUNT_CHOICES_NO_ALL)
+    p.add_argument("-a", "--total", action="store_true", help=_TOTAL_HELP)
     p.add_argument(
-        "-m", "--method", default="centroid", choices=CLUSTER_CHOICES
+        "-c",
+        "--count",
+        default="node",
+        choices=COUNT_CHOICES_NO_ALL,
+        help=_COUNT_HELP,
+    )
+    p.add_argument(
+        "-m",
+        "--method",
+        default="centroid",
+        choices=CLUSTER_CHOICES,
+        help="Method for clustering results",
     )
 
     return ap
