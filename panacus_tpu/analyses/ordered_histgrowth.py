@@ -93,7 +93,12 @@ class OrderedHistgrowth(Analysis):
                         x_label="taxa",
                         y_label=f"{self.parameter.count_type}s",
                         labels=list(ab.groups),
-                        values=growths,
+                        # NaN is not valid JSON; zero the leading sentinel
+                        # (the JS renderer skips index 0, like Growth)
+                        values=[
+                            [0.0 if x != x else float(x) for x in row]
+                            for row in growths
+                        ],
                         log_toggle=False,
                     )
                 ],

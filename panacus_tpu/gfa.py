@@ -662,12 +662,13 @@ class GraphStorage:
             raise ValueError("edge index unavailable")
         cu, co1, cv, co2 = canonical_edges(u, o1, v, o2)
         keys = edge_keys(cu, co1, cv, co2)
-        idx = np.searchsorted(self._edge_keys_sorted, keys)
-        idx_c = np.minimum(idx, max(len(self._edge_keys_sorted) - 1, 0))
-        bad = (
-            (len(self._edge_keys_sorted) == 0)
-            | (self._edge_keys_sorted[idx_c] != keys)
-        )
+        if len(self._edge_keys_sorted) == 0:
+            bad = np.ones(len(keys), dtype=bool)
+            idx_c = np.zeros(len(keys), dtype=np.int64)
+        else:
+            idx = np.searchsorted(self._edge_keys_sorted, keys)
+            idx_c = np.minimum(idx, len(self._edge_keys_sorted) - 1)
+            bad = self._edge_keys_sorted[idx_c] != keys
         if np.any(bad):
             i = int(np.flatnonzero(bad)[0])
             raise ValueError(

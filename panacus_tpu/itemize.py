@@ -39,6 +39,22 @@ class ItemizeResult:
     paths_len: Dict[PathSegment, Tuple[int, int]]
 
 
+def _prefetch_runs(graph: GraphStorage, indices, runs: List, n_workers: int):
+    """Tokenize the given path indices concurrently into `runs` (the
+    fallback parallel axis when the native batch tokenizer is unavailable;
+    counterpart of the reference's rayon par_split, util.rs:1206-1229)."""
+    indices = list(indices)
+    if n_workers > 1 and len(indices) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            for i, r in zip(indices, ex.map(graph.path_item_run, indices)):
+                runs[i] = r
+    else:
+        for i in indices:
+            runs[i] = graph.path_item_run(i)
+
+
 def itemize_paths(
     graph: GraphStorage,
     mask: GraphMask,
@@ -92,21 +108,12 @@ def itemize_paths(
             if batch is not None:
                 batch_slot = np.full(n_paths, -1, dtype=np.int64)
                 batch_slot[sel] = np.arange(len(sel))
+            else:
+                _prefetch_runs(graph, sel, runs, n_workers)
     else:
         batch = graph.all_path_item_runs()
         if batch is None:
-            if n_workers > 1 and n_paths > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=n_workers) as ex:
-                    for i, r in zip(
-                        range(n_paths),
-                        ex.map(graph.path_item_run, range(n_paths)),
-                    ):
-                        runs[i] = r
-            else:
-                for i in range(n_paths):
-                    runs[i] = graph.path_item_run(i)
+            _prefetch_runs(graph, range(n_paths), runs, n_workers)
 
     if batch is not None and not has_include and not has_exclude:
         # zero-copy shortcut: no masks at all -> the batch CSR IS the item
@@ -268,14 +275,6 @@ def itemize_paths(
     return ItemizeResult(item_tables, exclude_tables, subset_covered_bps, paths_len)
 
 
-def itemize_edges_fast(
-    graph: GraphStorage, item_table: ItemTable, num_path: int, ids, orient
-) -> np.ndarray:
-    u, o1 = ids[:-1], orient[:-1]
-    v, o2 = ids[1:], orient[1:]
-    return graph.edge_ids_for_pairs(u, o1, v, o2)
-
-
 def _update_tables(
     item_table: ItemTable,
     subset_covered_bps: Optional[IntervalContainer],
@@ -317,6 +316,14 @@ def _update_tables(
             offset,
             cov_present,
         )
+        if res is None and cov_present is not None:
+            # the C walker mutates the bitmap in place as it goes; if it
+            # aborted mid-walk (capacity overflow) the bits it already
+            # flipped were never replayed into the interval map — rebuild
+            # the cache from the authoritative map before falling back
+            cov_present[:] = 0
+            if subset_covered_bps.map:
+                cov_present[list(subset_covered_bps.map.keys())] = 1
         if res is not None:
             pushed_arr, cov_ev, exc_ev, included_bp = res
             item_table.append(num_path, pushed_arr)

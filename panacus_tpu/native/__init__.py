@@ -98,8 +98,6 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_parse_path_pm.argtypes = [u8p, i64, i64p, u8p]
     lib.pt_parse_walk_lg.restype = i64
     lib.pt_parse_walk_lg.argtypes = [u8p, i64, i64p, u8p]
-    lib.pt_or_row_bplen.restype = ctypes.c_uint64
-    lib.pt_or_row_bplen.argtypes = [u32p, ctypes.c_uint32, i64p, i64, u32p, i64]
     lib.pt_parse_int_spans.restype = i64
     lib.pt_parse_int_spans.argtypes = [u8p, i64p, i64p, i64, i64p]
     u64p = ctypes.POINTER(ctypes.c_uint64)

@@ -892,19 +892,3 @@ EXPORT int64_t pt_build_membership(
     return 0;
 }
 
-/* OR one group's bit into a membership-matrix row for every visited item,
- * skipping out-of-range ids; returns the bp sum over node_lens. */
-EXPORT uint64_t pt_or_row_bplen(
-    uint32_t* m_row, uint32_t bit, const int64_t* ids, int64_t n,
-    const uint32_t* node_lens, int64_t n_items)
-{
-    uint64_t bp = 0;
-    for (int64_t k = 0; k < n; k++) {
-        int64_t id = ids[k];
-        if (id >= 1 && id <= n_items) {
-            m_row[id] |= bit;
-            bp += node_lens[id];
-        }
-    }
-    return bp;
-}

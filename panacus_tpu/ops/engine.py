@@ -139,33 +139,6 @@ def unpack_block(M_block, n_groups: int) -> jax.Array:
     return P.reshape(n_words * 32, B)[:n_groups].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _ordered_growth_block(M_block, weights_block, thr_table, c_min: int):
-    """Ordered growth contribution of one item block
-    (reference semantics: src/graph_broker/abacus.rs:988-1032).
-
-    For each group position j (in path order): an item with total coverage
-    >= c_min contributes its weight iff
-        #present-groups<=j  >=  ceil((last-present-group-id<=j + 1) * quorum)
-    thr_table[g+1] holds the host-precomputed ceil((g+1)*quorum); index 0
-    (no present group yet) maps to a sentinel that never passes.
-    """
-    n_groups = thr_table.shape[0] - 1
-    P = unpack_block(M_block, n_groups)  # [G, B]
-    cum = jnp.cumsum(P, axis=0, dtype=jnp.int32)
-    gidx = jnp.arange(n_groups, dtype=jnp.int32).reshape(-1, 1)
-    lp = jax.lax.cummax(jnp.where(P > 0, gidx, -1), axis=0)
-    thr = thr_table[lp + 1]
-    total = cum[-1]
-    ok = (cum >= thr) & (cum >= 1) & (total >= c_min).reshape(1, -1)
-    # int32 accumulation: per-block partials stay < 2^31 (blocks are 2^14
-    # items); the host accumulates across blocks in int64
-    return jnp.sum(
-        ok.astype(jnp.int32) * weights_block.astype(jnp.int32).reshape(1, -1),
-        axis=1,
-    )
-
-
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _ordered_growth_all(M, weights, thr_table, c_min: int, n_blocks: int):
     """Single-dispatch ordered growth: lax.map over item blocks (one XLA
@@ -185,6 +158,17 @@ def _ordered_growth_all(M, weights, thr_table, c_min: int, n_blocks: int):
 
 
 def _ordered_growth_block_body(M_block, weights_block, thr_table, c_min: int):
+    """Ordered growth contribution of one item block
+    (reference semantics: src/graph_broker/abacus.rs:988-1032).
+
+    For each group position j (in path order): an item with total coverage
+    >= c_min contributes its weight iff
+        #present-groups<=j  >=  ceil((last-present-group-id<=j + 1) * quorum)
+    thr_table[g+1] holds the host-precomputed ceil((g+1)*quorum); index 0
+    (no present group yet) maps to a sentinel that never passes.
+    int32 accumulation: per-block partials stay < 2^31 (blocks are 2^14
+    items); the host accumulates across blocks in int64.
+    """
     n_groups = thr_table.shape[0] - 1
     P = unpack_block(M_block, n_groups)  # [G, B]
     cum = jnp.cumsum(P, axis=0, dtype=jnp.int32)

@@ -81,22 +81,6 @@ def fused_hist_tpu(M: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array:
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def hist_onehot(cov: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array:
-    """XLA formulation of the weighted histogram as a one-hot matmul —
-    MXU-friendly on TPU, vectorizes fine on CPU (vs serial scatter)."""
-    onehot = (
-        cov.reshape(-1, 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (cov.shape[0], n_bins), 1)
-    ).astype(jnp.float32)
-    return jax.lax.dot_general(
-        weights.astype(jnp.float32).reshape(1, -1),
-        onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[0]
-
-
 # -- fused single-dispatch histograms -----------------------------------------
 #
 # On the tunneled TPU backend every dispatch pays a network round trip, so

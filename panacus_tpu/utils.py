@@ -108,6 +108,23 @@ def fmt_cell(x: float) -> str:
     return fmt_float(float(f))
 
 
+def _parse_usize(el: str) -> int:
+    """Parse like Rust usize::from_str: optional '+', ASCII digits only —
+    no sign '-', no '_' separators, no surrounding junk."""
+    body = el[1:] if el.startswith("+") else el
+    if not body or not body.isascii() or not body.isdigit():
+        raise ValueError(el)
+    return int(body)
+
+
+def _parse_f64(el: str) -> float:
+    """Parse like Rust f64::from_str: Python float() is close but also
+    accepts '_' digit separators, which Rust rejects."""
+    if "_" in el:
+        raise ValueError(el)
+    return float(el)
+
+
 def parse_threshold_list(threshold_str: str, require: str) -> List[Threshold]:
     """Parse a comma-separated threshold list.
 
@@ -119,7 +136,7 @@ def parse_threshold_list(threshold_str: str, require: str) -> List[Threshold]:
         el = el.strip()
         if require == "absolute":
             try:
-                out.append(Threshold.absolute(int(el)))
+                out.append(Threshold.absolute(_parse_usize(el)))
             except ValueError:
                 raise ValueError(
                     f'threshold "{threshold_str}" ({i + 1}. element in list) is '
@@ -127,7 +144,7 @@ def parse_threshold_list(threshold_str: str, require: str) -> List[Threshold]:
                 )
         elif require == "relative":
             try:
-                t = float(el)
+                t = _parse_f64(el)
             except ValueError:
                 raise ValueError(
                     f'threshold "{threshold_str}" ({i + 1}. element in list) is '
@@ -141,9 +158,9 @@ def parse_threshold_list(threshold_str: str, require: str) -> List[Threshold]:
             out.append(Threshold.rel(t))
         else:  # either
             try:
-                out.append(Threshold.absolute(int(el)))
+                out.append(Threshold.absolute(_parse_usize(el)))
             except ValueError:
-                t = float(el)
+                t = _parse_f64(el)
                 if not (0.0 <= t <= 1.0):
                     raise ValueError(
                         f'relative threshold "{threshold_str}" must be within [0,1].'

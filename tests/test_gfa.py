@@ -117,3 +117,28 @@ def test_gzip_input(tmp_path, t_groups_gfa):
     g = GraphStorage(str(dst), index_edges=True)
     assert g.node_count == 15
     assert g.edge_count == 20
+
+
+def test_edge_lookup_without_l_lines(tmp_path, monkeypatch):
+    # a graph whose paths imply edges that were never declared must raise
+    # the reference's unknown-edge error, not an IndexError, also on the
+    # numpy fallback path (no native edge hash)
+    import pytest
+
+    from panacus_tpu.gfa import GraphStorage
+
+    gfa = tmp_path / "noedges.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAC\n"
+        "S\t2\tGG\n"
+        "P\ta#0#x\t1+,2+\t*\n"
+    )
+    g = GraphStorage(str(gfa), index_edges=True)
+    g._edge_hash = None  # force the searchsorted fallback
+    import numpy as np
+
+    with pytest.raises(ValueError, match="unknown edge"):
+        g.edge_ids_for_pairs(
+            np.array([1]), np.array([0]), np.array([2]), np.array([0])
+        )

@@ -55,3 +55,25 @@ def test_intersects_and_contained():
     assert is_contained(v, (12, 18))
     assert not is_contained(v, (18, 22))
     assert not is_contained([], (0, 1))
+
+
+def test_threshold_parsing_rejects_rust_invalid_forms():
+    # Rust usize/f64 from_str reject '-', '_' separators (hist.rs:207-258)
+    import pytest
+
+    from panacus_tpu.utils import parse_threshold_list
+
+    assert [t.value for t in parse_threshold_list("0,1,2", "absolute")] == [
+        0.0,
+        1.0,
+        2.0,
+    ]
+    assert parse_threshold_list("+5", "absolute")[0].value == 5.0
+    for bad in ["-5", "1_0", "1.0", "0x5", ""]:
+        with pytest.raises(ValueError):
+            parse_threshold_list(bad, "absolute")
+    with pytest.raises(ValueError):
+        parse_threshold_list("0._5", "relative")
+    # 'either': int first, then float in [0,1]
+    ts = parse_threshold_list("2,0.5", "either")
+    assert (ts[0].relative, ts[1].relative) == (False, True)

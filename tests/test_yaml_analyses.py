@@ -70,3 +70,30 @@ def test_multi_run_yaml(capsys, t_groups_gfa, chrm_gfa, tmp_path):
     by_run = {s["run_name"]: s for s in sections}
     chrm_vals = by_run["chrm"]["items"][0]["Bar"]["values"]
     assert chrm_vals == [0.0, 39.0, 29.0, 41.0, 45.0]
+
+
+def test_ordered_growth_report_json_is_strict(capsys, t_groups_gfa, tmp_path):
+    # json.dumps would happily emit bare NaN (invalid JSON) — the report
+    # sections must stay strictly parseable (browsers' JSON.parse, and the
+    # render merge path, reject NaN)
+    cfg = tmp_path / "o.yaml"
+    cfg.write_text(
+        f"""
+- graph: {t_groups_gfa}
+  grouping: Sample
+  analyses:
+    - !OrderedGrowth
+      count_type: Node
+"""
+    )
+    run_cli(["report", "--json", str(cfg)])
+    out = capsys.readouterr().out
+
+    def no_const(x):
+        raise AssertionError(f"non-finite constant {x} in report JSON")
+
+    sections = json.loads(out, parse_constant=no_const)
+    (item,) = sections[0]["items"]
+    values = item["MultiBar"]["values"]
+    # leading sentinel slot is zeroed (JS renderer skips index 0)
+    assert values[0][0] == 0.0 and values[0][1:] == [10.0, 10.0]
