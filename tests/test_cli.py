@@ -143,3 +143,24 @@ def test_node_distribution_output(capsys, t_groups_gfa):
     lines = out.strip().split("\n")
     assert lines[0] == "Bin\tCoverage\tLog-Length\tLog-Size"
     assert len(lines) > 1
+
+
+def test_info_multiple_components(capsys, tmp_path):
+    # two disconnected components: {1,2,3} (sizes 1,2,3bp) and {4,5}
+    gfa = tmp_path / "two_comp.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tA\nS\t2\tAC\nS\t3\tACG\nS\t4\tACGT\nS\t5\tACGTA\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "L\t2\t+\t3\t+\t0M\n"
+        "L\t4\t+\t5\t+\t0M\n"
+        "P\ta#0#x\t1+,2+,3+\t*\n"
+        "P\tb#0#y\t4+,5+\t*\n"
+    )
+    run_cli(["info", str(gfa)])
+    out = capsys.readouterr().out
+    assert "graph\ttotal\tcomponent\t2" in out
+    assert "graph\tlargest\tcomponent\t3" in out
+    assert "graph\tsmallest\tcomponent\t2" in out
+    # median of sorted [2, 3] -> 2.5
+    assert "graph\tmedian\tcomponent\t2.5" in out
