@@ -148,3 +148,61 @@ def test_chrm_bed_exclude(chrm_gfa):
     assert (
         np.arange(len(h_exc)) @ h_exc <= np.arange(len(h_full)) @ h_full
     )
+
+
+def test_regex_subset(capsys, tmp_path):
+    # a subset string that is not a file is treated as a regex over path
+    # names (reference: src/graph_broker/abacus.rs:212-240)
+    gfa = tmp_path / "r.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tA\nS\t2\tAC\nS\t3\tACG\n"
+        "P\talpha#0#c\t1+,2+\t*\n"
+        "P\tbeta#0#c\t2+,3+\t*\n"
+    )
+    from panacus_tpu.cli import run_cli
+
+    run_cli(["hist", str(gfa), "-s", "^alpha#"])
+    out = capsys.readouterr().out
+    rows = [l.split("\t") for l in out.splitlines() if l and l[0].isdigit()]
+    hist = {int(r[0]): int(r[1]) for r in rows}
+    # only alpha's nodes {1,2} are in the subset, each covered once
+    assert hist[1] == 2 and hist.get(2, 0) == 0
+
+
+def test_bed12_block_mode(tmp_path):
+    from io import BytesIO
+
+    from panacus_tpu.io_utils import parse_bed_to_path_segments
+
+    # blockSizes 2,3 at blockStarts 0,5 from chromStart 10 -> [10,12), [15,18)
+    bed = b"p#0#c\t10\t30\tname\t0\t+\t10\t30\t0\t2\t2,3\t0,5\n"
+    segs = parse_bed_to_path_segments(BytesIO(bed), use_block_info=True)
+    coords = [(s.start, s.end) for s in segs]
+    assert coords == [(10, 12), (15, 18)]
+    # without block info: one interval [10, 30)
+    segs = parse_bed_to_path_segments(BytesIO(bed), use_block_info=False)
+    assert [(s.start, s.end) for s in segs] == [(10, 30)]
+
+
+def test_subset_by_group_name(capsys, tmp_path):
+    # a 1-column subset entry naming a GROUP expands to all its paths
+    # (reference: complement_with_group_assignments, abacus.rs:152-201)
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tA\nS\t2\tAC\nS\t3\tACG\n"
+        "P\ts1#0#c\t1+\t*\n"
+        "P\ts1#1#c\t1+,2+\t*\n"
+        "P\ts2#0#c\t3+\t*\n"
+    )
+    sub = tmp_path / "sub.txt"
+    sub.write_text("s1\n")
+    from panacus_tpu.cli import run_cli
+
+    run_cli(["hist", str(gfa), "-S", "-s", str(sub)])
+    out = capsys.readouterr().out
+    rows = [l.split("\t") for l in out.splitlines() if l and l[0].isdigit()]
+    hist = {int(r[0]): int(r[1]) for r in rows}
+    # group s1 covers nodes {1, 2} once (sample grouping merges haplotypes)
+    assert hist[1] == 2
