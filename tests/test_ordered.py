@@ -79,3 +79,35 @@ def test_ordered_growth_thresholds_relative():
     got = e.ordered_growth(w, 0.0, Threshold.rel(0.5).to_absolute(3))
     want = reference_ordered_growth(memberships, 3, [1, 1, 1, 1], 2, 0.0)
     assert got.tolist() == want.tolist()
+
+
+def test_order_with_fragmented_groups_rejected(tmp_path):
+    # order files must keep each group contiguous (reference: the
+    # "fragmented groups" check, src/graph_broker/abacus.rs:116-127)
+    import pytest
+
+    from panacus_tpu.cli import run_cli
+
+    gfa = tmp_path / "f.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tA\nS\t2\tAC\n"
+        "P\ta#0#c\t1+\t*\n"
+        "P\tb#0#c\t2+\t*\n"
+        "P\ta#1#c\t1+,2+\t*\n"
+        "P\tb#1#c\t2+\t*\n"
+    )
+    order = tmp_path / "order.txt"
+    # a..b..a..b: group b is re-entered after being left -> rejected
+    order.write_text("a#0#c\nb#0#c\na#1#c\nb#1#c\n")
+    with pytest.raises(ValueError, match="fragmented groups"):
+        run_cli(
+            ["ordered-histgrowth", str(gfa), "-S", "-O", str(order)]
+        )
+    # quirk replicated from the reference (abacus.rs:116-126): the FIRST
+    # group is never marked visited, so re-entering it (a..b..a..a) passes
+    order.write_text("a#0#c\nb#0#c\nb#1#c\na#1#c\n")
+    run_cli(["ordered-histgrowth", str(gfa), "-S", "-O", str(order)])
+    # a contiguous order is fine
+    order.write_text("b#0#c\nb#1#c\na#0#c\na#1#c\n")
+    run_cli(["ordered-histgrowth", str(gfa), "-S", "-O", str(order)])
