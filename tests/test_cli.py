@@ -164,3 +164,38 @@ def test_info_multiple_components(capsys, tmp_path):
     assert "graph\tsmallest\tcomponent\t2" in out
     # median of sorted [2, 3] -> 2.5
     assert "graph\tmedian\tcomponent\t2.5" in out
+
+
+def test_render_merges_multiple_json_files(capsys, t_groups_gfa, tmp_path):
+    """`render a.json b.json` concatenates sections into one report
+    (reference: src/lib.rs:122-142, the checkpoint+merge mechanism)."""
+    j1 = tmp_path / "a.json"
+    j2 = tmp_path / "b.json"
+    for jf, analysis in ((j1, "!Hist"), (j2, "!Info")):
+        cfg = tmp_path / f"{jf.stem}.yaml"
+        body = "      count_type: Node\n" if analysis == "!Hist" else ""
+        cfg.write_text(
+            f"- graph: {t_groups_gfa}\n  grouping: Sample\n"
+            f"  analyses:\n    - {analysis}\n{body}"
+        )
+        rc, out = run(capsys, ["report", "--json", str(cfg)])
+        assert rc == 0
+        jf.write_text(out)
+    rc, html = run(capsys, ["render", str(j1), str(j2)])
+    assert rc == 0
+    assert "Coverage Histogram" in html
+    assert "Pangenome Info" in html
+
+
+def test_report_dry_run_prints_plan_only(capsys, t_groups_gfa, tmp_path):
+    """`report --dry-run` prints the task plan without computing
+    (reference: src/lib.rs:180,213-217)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"- graph: {t_groups_gfa}\n  analyses:\n    - !Hist\n"
+        "      count_type: Node\n"
+    )
+    rc, out = run(capsys, ["report", "--dry-run", str(cfg)])
+    assert rc == 0
+    assert "Hist" in out
+    assert "<!DOCTYPE html>" not in out
