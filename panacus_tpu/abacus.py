@@ -247,6 +247,9 @@ class AbacusByGroup:
         self._itemized = itemized
         self._slot = slot
         self._path_order = path_order
+        self._sparse_cache: Optional[
+            Tuple[np.ndarray, np.ndarray, np.ndarray]
+        ] = None
 
     @classmethod
     def from_itemization(
@@ -334,61 +337,147 @@ class AbacusByGroup:
     def sparse_counts(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(items, group_ids, multiplicities) of the occurrence matrix —
         the CSC (r, c, v) equivalent for table export
-        (reference: compute_column_values abacus.rs:901-986)."""
+        (reference: compute_column_values abacus.rs:901-986).
+
+        Streams one group at a time (dense bincount per group) instead of
+        materializing every occurrence pair at once: peak extra memory is
+        one group's visits plus the final nnz arrays."""
+        if self._sparse_cache is not None:
+            return self._sparse_cache
         n_groups = len(self.groups)
-        occ_items, occ_groups = occurrence_pairs(
-            self._itemized.item_tables[self._slot],
-            self._path_order,
-            self._itemized.exclude_tables[self._slot],
+        table = self._itemized.item_tables[self._slot]
+        ex = self._itemized.exclude_tables[self._slot]
+        n_items = self.engine.n_items
+        paths_by_group: List[List[int]] = [[] for _ in range(n_groups)]
+        for pid, gi in self._path_order:
+            paths_by_group[gi].append(pid)
+        excluded = (
+            np.flatnonzero(ex.items) if ex is not None else None
         )
-        if len(occ_items) == 0:
+        per_group: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        row_counts = np.zeros(n_items + 2, dtype=np.int64)
+        for gi, pids in enumerate(paths_by_group):
+            slices = [s for s in map(table.path_slice, pids) if len(s)]
+            if not slices:
+                continue
+            visits = slices[0] if len(slices) == 1 else np.concatenate(slices)
+            cnt = np.bincount(visits, minlength=n_items + 1)
+            if excluded is not None and len(excluded):
+                cnt[excluded] = 0
+            cnt[0] = 0
+            nz = np.flatnonzero(cnt)
+            if not len(nz):
+                continue
+            per_group.append((gi, nz, cnt[nz].astype(np.int64)))
+            row_counts[nz + 1] += 1
+        if not per_group:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        key = occ_items.astype(np.int64) * np.int64(
-            n_groups
-        ) + occ_groups.astype(np.int64)
-        uniq, counts = np.unique(key, return_counts=True)
-        return uniq // n_groups, uniq % n_groups, counts
+        # O(nnz) counting placement instead of a global sort: each group's
+        # nonzero list is item-sorted and items are unique within a group,
+        # so ptr[nz] gather + increment places (item, group) runs in
+        # row-major order with groups in path order per item
+        ptr = np.cumsum(row_counts)[:-1]
+        nnz = int(ptr[-1] + row_counts[-1])
+        items = np.empty(nnz, dtype=np.int64)
+        group_ids = np.empty(nnz, dtype=np.int64)
+        counts = np.empty(nnz, dtype=np.int64)
+        for gi, nz, c in per_group:
+            pos = ptr[nz]
+            items[pos] = nz
+            group_ids[pos] = gi
+            counts[pos] = c
+            ptr[nz] += 1
+        self._sparse_cache = (items, group_ids, counts)
+        return self._sparse_cache
 
     def to_tsv(self, total: bool, graph: GraphStorage) -> str:
-        """Full or total coverage table (reference: abacus.rs:1056-1178)."""
+        """Full or total coverage table (reference: abacus.rs:1056-1178).
+
+        Chunked and vectorized: dense per-chunk rows scattered from the
+        sparse counts, decimal-formatted by the threaded native formatter
+        (numpy/python fallback when unavailable)."""
         log.info("reporting coverage table")
-        out: List[str] = []
         n_groups = len(self.groups)
         items, group_ids, counts = self.sparse_counts()
-        # CSR over items
         n_items = self.engine.n_items
         starts = np.searchsorted(items, np.arange(1, n_items + 2))
 
-        if self.count in (CountType.NODE, CountType.BP):
-            head = "node"
-            name_of = graph.node_name
-        else:
-            head = "edge"
-            name_of = graph.edge_name
-        out.append(head)
-        if total:
-            out.append("\ttotal")
-        else:
-            for g in self.groups:
-                out.append(f"\t{g}")
-        out.append("\n")
+        head = "node" if self.count in (CountType.NODE, CountType.BP) else "edge"
+        header = head + (
+            "\ttotal" if total else "".join(f"\t{g}" for g in self.groups)
+        ) + "\n"
 
+        # per-item bp multiplier (covered bp for bp counts, else 1)
+        if self.count == CountType.BP:
+            bp = self._graph.node_lens[: n_items + 1].astype(np.int64).copy()
+            for sid, unc in self.uncovered_bps.items():
+                bp[sid] -= unc
+        else:
+            bp = None
+
+        from .native import format_table
+        from .runtime import effective_threads
+
+        body: List[bytes] = []
+        CHUNK = 1 << 16
+        dense = None if total else np.zeros((CHUNK, n_groups), dtype=np.int64)
+        for lo in range(1, n_items + 1, CHUNK):
+            hi = min(lo + CHUNK, n_items + 1)
+            n_rows = hi - lo
+            a, b = starts[lo - 1], starts[hi - 1]
+            if total:
+                vals = np.diff(starts[lo - 1 : hi]).reshape(-1, 1)
+            else:
+                # each present group gets its multiplicity (x bp for bp
+                # counts); the reference's edge branch (abacus.rs:1164)
+                # mis-indexes v by group id — we emit the evidently
+                # intended per-slot multiplicity
+                mult = counts[a:b]
+                if bp is not None:
+                    mult = mult * bp[items[a:b]]
+                vals = dense[:n_rows]
+                vals[items[a:b] - lo, group_ids[a:b]] = mult
+            ids = np.arange(lo, hi, dtype=np.int64)
+            names = (
+                graph.node_names_fixed(ids)
+                if head == "node"
+                else graph.edge_names_fixed(ids)
+            )
+            blob = format_table(vals, names, effective_threads())
+            if blob is None:
+                return header + self._to_tsv_rows_python(
+                    total, graph, items, group_ids, counts, starts, bp
+                )
+            body.append(blob)
+            if not total:
+                # clear only the cells this chunk scattered (buffer reuse)
+                vals[items[a:b] - lo, group_ids[a:b]] = 0
+        return header + b"".join(body).decode("utf-8")
+
+    def _to_tsv_rows_python(
+        self, total, graph, items, group_ids, counts, starts, bp
+    ) -> str:
+        """Scalar fallback row formatter (no native lib)."""
+        n_groups = len(self.groups)
+        n_items = self.engine.n_items
+        name_of = (
+            graph.node_name
+            if self.count in (CountType.NODE, CountType.BP)
+            else graph.edge_name
+        )
+        out: List[str] = []
         for i in range(1, n_items + 1):
             a, b = starts[i - 1], starts[i]
-            if self.count == CountType.BP:
-                bp = graph.node_len(i) - self.uncovered_bps.get(i, 0)
-            else:
-                bp = 1
             out.append(name_of(i))
             if total:
                 out.append(f"\t{b - a}\n")
                 continue
-            # each present group gets its multiplicity (x bp for bp counts);
-            # the reference's edge branch (abacus.rs:1164) mis-indexes v by
-            # group id — we emit the evidently intended per-slot multiplicity
             row = np.zeros(n_groups, dtype=np.int64)
-            row[group_ids[a:b]] = counts[a:b] * bp
+            mult = counts[a:b]
+            if bp is not None:
+                mult = mult * bp[i]
+            row[group_ids[a:b]] = mult
             out.append("\t")
             out.append("\t".join(str(x) for x in row))
             out.append("\n")

@@ -3,12 +3,11 @@
 
 from __future__ import annotations
 
-import math
 from typing import List, Set
 
 import numpy as np
 
-from ..report.hexbin import hexbin
+from ..report.hexbin import hexbin_arrays
 from ..report.sections import AnalysisSection, hexbin_item
 from ..utils import CountType, fmt_float
 from . import Analysis
@@ -33,11 +32,10 @@ class NodeDistribution(Analysis):
         countables = gb.get_abacus_by_total(CountType.NODE).countable[1:]
         node_lens = gb.get_node_lens()[1:]
         log_lens = np.log10(node_lens.astype(np.float64))
-        points = [
-            (int(i + 1), int(c), float(l))
-            for i, (c, l) in enumerate(zip(countables, log_lens))
-        ]
-        self._bins = hexbin(points, 15, 9)
+        ids = np.arange(1, len(countables) + 1, dtype=np.int64)
+        self._bins = hexbin_arrays(
+            ids, countables.astype(np.float64), log_lens, 15, 9
+        )
 
     def generate_table(self, gb) -> str:
         self._set_table(gb)

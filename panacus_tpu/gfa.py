@@ -677,6 +677,42 @@ class GraphStorage:
             )
         return self._edge_ids_sorted[idx_c]
 
+    def node_names_fixed(self, ids: np.ndarray) -> np.ndarray:
+        """Fixed-width byte names for a batch of node ids (NUL-padded) —
+        vectorized gather from the file buffer for the table exporter."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if self._int_name_mode == "identity":
+            return ids.astype("S20")
+        ns, ne = self._name_spans
+        starts = ns[ids - 1]
+        ends = ne[ids - 1]
+        w = int((ends - starts).max()) if len(ids) else 1
+        pos = starts[:, None] + np.arange(w, dtype=np.int64)
+        g = self._buf[np.minimum(pos, len(self._buf) - 1)]
+        out = np.where(pos < ends[:, None], g, 0).astype(np.uint8)
+        return np.ascontiguousarray(out)
+
+    def edge_names_fixed(self, eids: np.ndarray) -> np.ndarray:
+        """Fixed-width byte names '<u><v' style for a batch of edge ids.
+        Name blocks are NUL-padded internally; consumers treat NUL as
+        padding anywhere in the cell (native format_table does)."""
+        i = np.asarray(eids, dtype=np.int64) - 1
+        u = self.edges_u[i]
+        v = self.edges_v[i]
+        o1 = np.where(self.edges_o1[i], ord("<"), ord(">")).astype(np.uint8)
+        o2 = np.where(self.edges_o2[i], ord("<"), ord(">")).astype(np.uint8)
+        un = self.node_names_fixed(u)
+        vn = self.node_names_fixed(v)
+        un = un.view(np.uint8).reshape(len(i), -1)
+        vn = vn.view(np.uint8).reshape(len(i), -1)
+        wu, wv = un.shape[1], vn.shape[1]
+        out = np.zeros((len(i), 2 + wu + wv), dtype=np.uint8)
+        out[:, 0] = o1
+        out[:, 1 : 1 + wu] = un
+        out[:, 1 + wu] = o2
+        out[:, 2 + wu :] = vn
+        return out
+
     def edge_name(self, eid: int) -> str:
         i = eid - 1
         o1 = "<" if self.edges_o1[i] else ">"

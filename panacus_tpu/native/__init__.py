@@ -735,3 +735,48 @@ def parse_path_tokens(
     if cnt < 0:
         return None
     return ids[:cnt], orient[:cnt]
+
+
+def format_table(
+    vals: np.ndarray, names: np.ndarray, n_threads: int = 0
+) -> Optional[bytes]:
+    """Format int64 matrix vals[n, g] as TSV rows "name\\tv0\\t...\\n".
+
+    names: fixed-width bytes array ([n] of dtype S<w> or [n, w] uint8);
+    NUL bytes anywhere in a name cell are padding and are skipped (composed
+    names interleave NUL-padded blocks). Returns the formatted bytes, or
+    None when the native lib is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    n, g = vals.shape
+    if n == 0:
+        return b""
+    if names.dtype.kind == "S":
+        name_w = names.dtype.itemsize
+        names_u8 = np.ascontiguousarray(names).view(np.uint8)
+    else:
+        names_u8 = np.ascontiguousarray(names, dtype=np.uint8)
+        name_w = names_u8.shape[1] if names_u8.ndim > 1 else 1
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    row_cap = name_w + g * 21 + 2
+    out = np.empty(n * row_cap, dtype=np.uint8)
+    row_lens = np.empty(n, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pt_format_table.restype = ctypes.c_int64
+    total = lib.pt_format_table(
+        vals.ctypes.data_as(i64p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(g),
+        _as_u8p(names_u8),
+        ctypes.c_int64(name_w),
+        _as_u8p(out),
+        ctypes.c_int64(row_cap),
+        row_lens.ctypes.data_as(i64p),
+        ctypes.c_int32(n_threads),
+    )
+    if total < 0:
+        return None
+    return out[:total].tobytes()

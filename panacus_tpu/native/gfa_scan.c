@@ -892,3 +892,94 @@ EXPORT int64_t pt_build_membership(
     return 0;
 }
 
+
+/* ---- TSV table formatter ------------------------------------------------ */
+
+typedef struct {
+    const int64_t* vals;
+    int64_t n, g;
+    const uint8_t* names;
+    int64_t name_w;
+    uint8_t* out;
+    int64_t row_cap;      /* fixed byte budget per row */
+    int64_t* row_lens;    /* written length of each row */
+    int32_t n_threads;
+} fmt_ctx;
+
+typedef struct { fmt_ctx* c; int32_t tid; } fmt_arg;
+
+static inline uint8_t* fmt_i64(uint8_t* p, int64_t v)
+{
+    char tmp[20];
+    int t = 0;
+    if (v < 0) { *p++ = '-'; v = -v; }
+    do { tmp[t++] = (char)('0' + (v % 10)); v /= 10; } while (v);
+    while (t) *p++ = (uint8_t)tmp[--t];
+    return p;
+}
+
+static void* fmt_worker(void* arg)
+{
+    fmt_arg* a = (fmt_arg*)arg;
+    fmt_ctx* c = a->c;
+    int64_t lo = c->n * a->tid / c->n_threads;
+    int64_t hi = c->n * (a->tid + 1) / c->n_threads;
+    for (int64_t i = lo; i < hi; i++) {
+        uint8_t* p = c->out + i * c->row_cap;
+        uint8_t* p0 = p;
+        const uint8_t* nm = c->names + i * c->name_w;
+        /* NUL bytes are padding anywhere in the fixed-width name cell
+         * (composed names interleave NUL-padded blocks) — skip them */
+        for (int64_t k = 0; k < c->name_w; k++)
+            if (nm[k]) *p++ = nm[k];
+        const int64_t* row = c->vals + i * c->g;
+        for (int64_t j = 0; j < c->g; j++) {
+            *p++ = '\t';
+            p = fmt_i64(p, row[j]);
+        }
+        *p++ = '\n';
+        c->row_lens[i] = p - p0;
+    }
+    return NULL;
+}
+
+/* Format n rows "name\tv0\t...\n" into out (row i staged at
+ * out[i*row_cap], then compacted in place). row_cap must be
+ * >= name_w + g*21 + 2. Returns total bytes written, or -1 on bad args. */
+EXPORT int64_t pt_format_table(
+    const int64_t* vals, int64_t n, int64_t g,
+    const uint8_t* names, int64_t name_w,
+    uint8_t* out, int64_t row_cap, int64_t* row_lens,
+    int32_t n_threads)
+{
+    if (row_cap < name_w + g * 21 + 2) return -1;
+    if (n == 0) return 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 16) n_threads = 16;
+    if (n_threads > n) n_threads = n > 0 ? (int32_t)n : 1;
+    fmt_ctx c = {vals, n, g, names, name_w, out, row_cap, row_lens, n_threads};
+    pthread_t tids[16];
+    fmt_arg args[16];
+    int spawned = 0;
+    for (int t = 1; t < n_threads; t++) {
+        args[t].c = &c;
+        args[t].tid = t;
+        if (pthread_create(&tids[t], NULL, fmt_worker, &args[t]) == 0)
+            spawned = t;
+        else break;
+    }
+    fmt_arg a0 = {&c, 0};
+    fmt_worker(&a0);
+    for (int t = spawned + 1; t < c.n_threads; t++) {
+        fmt_arg af = {&c, t};
+        fmt_worker(&af);
+    }
+    for (int t = 1; t <= spawned; t++) pthread_join(tids[t], NULL);
+    /* compact the fixed-slot rows in place; rows only move left */
+    int64_t w = row_lens[0];
+    for (int64_t i = 1; i < n; i++) {
+        memmove(out + w, out + i * row_cap, (size_t)row_lens[i]);
+        w += row_lens[i];
+    }
+    return w;
+}

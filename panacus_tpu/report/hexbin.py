@@ -1,58 +1,97 @@
 """Hexagonal binning of (coverage, log-length) node scatter
-(reference: src/html_report.rs:769-858)."""
+(reference: src/html_report.rs:769-858).
+
+Vectorized: the dual-grid ("black"/"green") assignment runs as numpy array
+passes so chr22-scale node sets (10^7 points) bin in milliseconds instead
+of minutes of Python-loop time. `hexbin` keeps the original list-of-tuples
+signature; `hexbin_arrays` is the array-native entry point.
+"""
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def hexbin_arrays(
+    ids: np.ndarray, cov: np.ndarray, ln: np.ndarray, nx: int, ny: int
+) -> List[Dict]:
+    """ids: item ids; cov: coverage (int); ln: log10 length (float).
+    Returns bins with x, y, size, content — dual-grid hex assignment like
+    the reference (html_report.rs:789-853), in first-appearance order."""
+    n = len(ids)
+    if n == 0:
+        return []
+    cov = np.asarray(cov, dtype=np.float64)
+    ln = np.asarray(ln, dtype=np.float64)
+    dx = float(cov.max()) / (nx - 1)
+    dy = float(ln.max()) / (ny - 1)
+
+    black_x = np.floor(cov / dx) * dx
+    black_y = np.floor(ln / dy) * dy
+    green_x = np.floor((cov - dx / 2.0) / dx) * dx + dx / 2.0
+    green_y = np.floor((ln - dy / 2.0) / dy) * dy + dy / 2.0
+    bx_lt = black_x < green_x
+    black_x = np.where(bx_lt, black_x + dx, black_x)
+    green_x = np.where(bx_lt, green_x, green_x + dx)
+    by_lt = black_y < green_y
+    black_y = np.where(by_lt, black_y + dy, black_y)
+    green_y = np.where(by_lt, green_y, green_y + dy)
+
+    d_black = np.sqrt((cov - black_x) ** 2 + (ln - black_y) ** 2)
+    d_green = np.sqrt((cov - green_x) ** 2 + (ln - green_y) ** 2)
+    is_green = d_black >= d_green
+
+    cx = np.where(is_green, green_x, black_x)
+    cy = np.where(is_green, green_y, black_y)
+    # integer grid key exactly as the scalar reference: int() truncation of
+    # center/d (green keys are offset back by half a cell first)
+    kx = np.where(is_green, (green_x - dx / 2.0) / dx, black_x / dx).astype(
+        np.int64
+    )
+    ky = np.where(is_green, (green_y - dy / 2.0) / dy, black_y / dy).astype(
+        np.int64
+    )
+    key = (
+        is_green.astype(np.int64) * (1 << 62)
+        + (kx + (1 << 20)) * (1 << 21)
+        + (ky + (1 << 20))
+    )
+
+    # bins in first-appearance order, points kept in input order per bin
+    uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+    bin_order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[bin_order] = np.arange(len(uniq))
+    bin_of_point = rank[inv]
+    order = np.argsort(bin_of_point, kind="stable")
+    sizes = np.bincount(bin_of_point, minlength=len(uniq))
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    ids = np.asarray(ids)
+    out: List[Dict] = []
+    for b in range(len(uniq)):
+        sel = order[bounds[b] : bounds[b + 1]]
+        i0 = sel[0]
+        out.append(
+            {
+                "x": float(cx[i0]),
+                "y": float(cy[i0]),
+                "size": int(sizes[b]),
+                "content": ids[sel].tolist(),
+            }
+        )
+    return out
 
 
 def hexbin(
     points: List[Tuple[int, int, float]], nx: int, ny: int
 ) -> List[Dict]:
-    """points: (item_id, coverage, log10 length). Returns bins with x, y,
-    size, content — dual-grid ('black'/'green') hex assignment like the
-    reference."""
+    """points: (item_id, coverage, log10 length). List-of-tuples wrapper
+    around hexbin_arrays."""
     if not points:
         return []
-    max_coverage = max(p[1] for p in points)
-    max_length = max(p[2] for p in points)
-    dx = max_coverage / (nx - 1)
-    dy = max_length / (ny - 1)
-    bins: Dict[Tuple[bool, int, int], Dict] = {}
-    for iid, cov, ln in points:
-        black_x = math.floor(cov / dx) * dx
-        black_y = math.floor(ln / dy) * dy
-        green_x = math.floor((cov - dx / 2.0) / dx) * dx + dx / 2.0
-        green_y = math.floor((ln - dy / 2.0) / dy) * dy + dy / 2.0
-        if black_x < green_x:
-            black_x += dx
-        else:
-            green_x += dx
-        if black_y < green_y:
-            black_y += dy
-        else:
-            green_y += dy
-        if _dist(cov, ln, black_x, black_y) < _dist(cov, ln, green_x, green_y):
-            key = (False, int(black_x / dx), int(black_y / dy))
-            b = bins.setdefault(
-                key, {"x": black_x, "y": black_y, "size": 0, "content": []}
-            )
-        else:
-            key = (
-                True,
-                int((green_x - dx / 2.0) / dx),
-                int((green_y - dy / 2.0) / dy),
-            )
-            b = bins.setdefault(
-                key, {"x": green_x, "y": green_y, "size": 0, "content": []}
-            )
-        b["content"].append(iid)
-    out = list(bins.values())
-    for b in out:
-        b["size"] = len(b["content"])
-    return out
-
-
-def _dist(x1, y1, x2, y2) -> float:
-    return math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+    arr_ids = np.asarray([p[0] for p in points], dtype=np.int64)
+    arr_cov = np.asarray([p[1] for p in points], dtype=np.float64)
+    arr_ln = np.asarray([p[2] for p in points], dtype=np.float64)
+    return hexbin_arrays(arr_ids, arr_cov, arr_ln, nx, ny)
