@@ -508,7 +508,12 @@ def run_cli(argv: Optional[List[str]] = None) -> int:
     tasks = convert_to_tasks(instructions)
     log.info("%s", tasks)
     if dry_run:
-        print(tasks)
+        # legible plan print, one task per line (the reference pretty-prints
+        # the task vector with {:#?}, src/lib.rs:213-217)
+        print("[")
+        for t in tasks:
+            print(f"    {t!r},")
+        print("]")
         return 0
     execute_pipeline(tasks, out, shall_write_html, json)
     out.flush()

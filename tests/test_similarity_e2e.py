@@ -24,12 +24,21 @@ def parse_gfa_groups(path):
     with open(path) as f:
         for line in f:
             if line.startswith("S\t"):
-                _, name, seq = line.rstrip("\n").split("\t")[:3]
-                node_lens[name] = len(seq)
+                fields = line.rstrip("\n").split("\t")
+                name, seq = fields[1], fields[2]
+                if seq == "*":
+                    # sequence elided: length must come from an LN:i: tag
+                    ln = [x for x in fields[3:] if x.startswith("LN:i:")]
+                    assert ln, f"S line {name} has '*' seq and no LN tag"
+                    node_lens[name] = int(ln[0][5:])
+                else:
+                    node_lens[name] = len(seq)
             elif line.startswith("P\t"):
                 parts = line.rstrip("\n").split("\t")
                 sample = parts[1].split("#")[0]
-                nodes = {tok[:-1] for tok in parts[2].split(",")}
+                toks = parts[2].split(",")
+                assert all(t[-1] in "+-" for t in toks), parts[2]
+                nodes = {tok[:-1] for tok in toks}
                 groups.setdefault(sample, set()).update(nodes)
             elif line.startswith("W\t"):
                 parts = line.rstrip("\n").split("\t")

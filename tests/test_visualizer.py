@@ -25,7 +25,10 @@ def make_tsv(capsys, tmp_path, args, name):
 
 
 def visualize(tsv, out, extra=()):
-    env = dict(os.environ, MPLBACKEND="Agg")
+    # hermetic subprocess env: the script is matplotlib-only, so pin the
+    # platform away from any TPU-tunnel plugin that could stall at import
+    env = dict(os.environ, MPLBACKEND="Agg", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, SCRIPT, tsv, "-o", out, *extra],
         capture_output=True,
