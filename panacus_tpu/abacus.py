@@ -214,10 +214,11 @@ class AbacusByTotal:
         w = w.copy()
         w[0] = 0
         hist = self.engine.hist(w)
-        cov = self.countable
-        for sid, uncov in self.uncovered_bps.items():
-            hist[cov[sid]] -= uncov
-            hist[0] += uncov
+        if self.uncovered_bps:  # unmasked runs skip the coverage fetch
+            cov = self.countable
+            for sid, uncov in self.uncovered_bps.items():
+                hist[cov[sid]] -= uncov
+                hist[0] += uncov
         return hist
 
 

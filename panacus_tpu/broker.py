@@ -199,21 +199,37 @@ class GraphBroker:
 
         count_types = self._count_types()
         log.info("calculating abaci for count_types: %s", count_types)
-        with phase_timer("itemize_paths"):
-            itemized = itemize_paths(self.graph_aux, self.mask, count_types)
+        from .stream import streamed_total_abaci
+
+        with phase_timer("abaci_by_total"):
+            streamed = streamed_total_abaci(
+                self.graph_aux, self.mask, count_types
+            )
+            if streamed is not None:
+                abaci, itemized, path_order, groups = streamed
+            else:
+                with phase_timer("itemize_paths"):
+                    itemized = itemize_paths(
+                        self.graph_aux, self.mask, count_types
+                    )
+                path_order, groups = path_order_groups(
+                    self.mask, self.graph_aux.path_segments
+                )
+                abaci = {}
+                for slot, ct in enumerate(count_types):
+                    with phase_timer(f"abacus_by_total[{ct}]"):
+                        abaci[ct] = AbacusByTotal.from_itemization(
+                            ct,
+                            slot,
+                            itemized,
+                            path_order,
+                            groups,
+                            self.graph_aux,
+                        )
         self._itemized = itemized
         self._itemized_counts = count_types
-        path_order, groups = path_order_groups(
-            self.mask, self.graph_aux.path_segments
-        )
         self._path_order = path_order
         self._ordered_groups = groups
-        abaci = {}
-        for slot, ct in enumerate(count_types):
-            with phase_timer(f"abacus_by_total[{ct}]"):
-                abaci[ct] = AbacusByTotal.from_itemization(
-                    ct, slot, itemized, path_order, groups, self.graph_aux
-                )
         self.total_abaci = abaci
         if Req.PATH_LENS in self.input_requirements:
             self.path_lens = itemized.paths_len
@@ -231,6 +247,22 @@ class GraphBroker:
 
     def _set_abacus_by_group(self, count: CountType) -> None:
         slot = self._itemized_counts.index(count)
+        total = self.total_abaci.get(count)
+        if total is not None:
+            # ByTotal and ByGroup read the same membership matrix (same
+            # itemization slot, exclude set and path order): share the
+            # device-resident engine instead of rebuilding + re-uploading it
+            self.group_abacus = AbacusByGroup(
+                count,
+                total.engine,
+                total.groups,
+                total.uncovered_bps,
+                self.graph_aux,
+                self._itemized,
+                slot,
+                self._path_order,
+            )
+            return
         self.group_abacus = AbacusByGroup.from_itemization(
             count,
             slot,

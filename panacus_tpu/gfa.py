@@ -207,6 +207,56 @@ class ItemTable:
         return self.items[self.prefsum[path_idx] : self.prefsum[path_idx + 1]]
 
 
+class SlabbedItemTable:
+    """ItemTable built from per-slab CSR pieces (streamed membership build,
+    see panacus_tpu/stream.py). `path_slice` resolves through a slab index;
+    `.items`/`.prefsum` materialize the global path-ordered CSR lazily (only
+    the coverage-table export walks them)."""
+
+    def __init__(self, num_paths: int):
+        self.num_paths = num_paths
+        self._slabs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._where: Dict[int, Tuple[int, int]] = {}
+        self._items: Optional[np.ndarray] = None
+        self._prefsum: Optional[np.ndarray] = None
+
+    def add_slab(
+        self, path_ids: np.ndarray, ids: np.ndarray, prefsum: np.ndarray
+    ) -> None:
+        s = len(self._slabs)
+        self._slabs.append((path_ids, ids, prefsum))
+        for k, p in enumerate(path_ids):
+            self._where[int(p)] = (s, k)
+
+    def path_slice(self, path_idx: int) -> np.ndarray:
+        loc = self._where.get(path_idx)
+        if loc is None:
+            return np.zeros(0, dtype=np.int64)
+        s, k = loc
+        _, ids, prefsum = self._slabs[s]
+        return ids[prefsum[k] : prefsum[k + 1]]
+
+    def _materialize(self) -> None:
+        chunks = [self.path_slice(p) for p in range(self.num_paths)]
+        self._prefsum = np.zeros(self.num_paths + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in chunks], out=self._prefsum[1:])
+        self._items = (
+            np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+        )
+
+    @property
+    def items(self) -> np.ndarray:
+        if self._items is None:
+            self._materialize()
+        return self._items
+
+    @property
+    def prefsum(self) -> np.ndarray:
+        if self._prefsum is None:
+            self._materialize()
+        return self._prefsum
+
+
 class GraphStorage:
     """Indexed view of one GFA file.
 

@@ -279,6 +279,85 @@ def similarity_intersections(
     return total[:n_groups, :n_groups].astype(np.float64)
 
 
+# -- streaming build -----------------------------------------------------------
+
+
+def _items_sharding():
+    """NamedSharding over the item axis when >1 device is visible, else None."""
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return None
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(devs), ("items",))
+    return NamedSharding(mesh, P("items"))
+
+
+class MembershipStream:
+    """Asynchronous membership-matrix builder: accepts one packed uint32 row
+    per 32-group word as the host finishes tokenizing that word's paths, and
+    uploads it immediately (jax.device_put is async — transfers ride under
+    the host's tokenization of the next slab). `finalize()` stacks the rows
+    into the engine's M with one dispatch.
+
+    This is the overlap the blocking `build_from_host_matrix` upload lacked:
+    by the time the last path slab is tokenized, every earlier word row is
+    already resident in HBM, so the device tail is one row upload + the
+    fused hist dispatch.
+    """
+
+    def __init__(self, n_items: int, n_groups: int):
+        self.engine = CountingEngine(n_items, n_groups)
+        self._rows: dict = {}
+        self._sharding = _items_sharding()
+        if self._sharding is not None and (
+            self.engine.n_items_pad % len(jax.devices()) != 0
+        ):
+            self._sharding = None
+        # warm the per-shape transfer path (first device_put of a new shape
+        # pays a one-time setup cost on tunneled backends); fire and forget
+        self._warm = self._put(
+            np.zeros(self.engine.n_items_pad, dtype=np.uint32)
+        )
+
+    def _put(self, row: np.ndarray):
+        if self._sharding is not None:
+            return jax.device_put(row, self._sharding)
+        return jax.device_put(row)
+
+    def feed(self, word: int, row: np.ndarray) -> None:
+        """row: uint32[n_items_pad] with this word's group bits (host-built).
+        Issued asynchronously; do not mutate row afterwards."""
+        assert 0 <= word < self.engine.n_words
+        assert word not in self._rows, f"word {word} fed twice"
+        self._rows[word] = self._put(row)
+
+    def finalize(self) -> CountingEngine:
+        zeros = None
+        rows = []
+        for w in range(self.engine.n_words):
+            r = self._rows.get(w)
+            if r is None:
+                if zeros is None:
+                    zeros = self._put(
+                        np.zeros(self.engine.n_items_pad, dtype=np.uint32)
+                    )
+                r = zeros
+            rows.append(r)
+        if len(rows) == 1:
+            M = rows[0].reshape(1, -1)
+        else:
+            M = jnp.stack(rows)
+        if self._sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            M = jax.device_put(
+                M, NamedSharding(self._sharding.mesh, P(None, "items"))
+            )
+        self.engine.M = M
+        return self.engine
+
+
 # -- engine façade -------------------------------------------------------------
 
 

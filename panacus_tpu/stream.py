@@ -1,0 +1,263 @@
+"""Streamed abacus construction: overlap host tokenization with device work.
+
+The classic path (itemize_paths -> build_membership_host -> one blocking
+upload) serializes three phases that have no mutual dependency at slab
+granularity: tokenizing the paths of group-word w, packing word w's bit row,
+and uploading it. This module pipelines them:
+
+  tokenize slab i+1 (threaded C)   |  pack row of slab i (threaded C)
+                                   |  upload row of slab i-1 (async DMA)
+
+so by the time the final path slab is tokenized, every earlier membership
+row is already resident in device HBM. The device tail of a whole
+histgrowth run is then one row upload plus the fused hist dispatch.
+
+Applicability: unmasked runs (no subset/exclude coordinates) on graphs the
+native batch tokenizer can handle — exactly the hot production case. The
+masked path keeps the exact interval-walking itemizer (itemize.py).
+
+Reference counterpart: the single-threaded three-file-pass coverage build
+(src/graph_broker/abacus.rs:485-586, util.rs:22-206) — re-architected, not
+ported: the reference has no device, so it has nothing to overlap.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .abacus import AbacusByTotal, path_order_groups
+from .gfa import GraphStorage, PathSegment, SlabbedItemTable
+from .itemize import ItemizeResult
+from .mask import GraphMask
+from .ops.engine import MembershipStream
+from .utils import CountType
+
+log = logging.getLogger("panacus")
+
+
+@dataclass
+class _Slab:
+    word: int  # group word this slab contributes to; -1 = ungrouped paths
+    path_ids: np.ndarray  # global path indices, in path order
+    gidx_rel: np.ndarray  # per-path group bit within the word (0..31)
+
+
+def _plan_slabs(path_order: List[Tuple[int, int]], n_paths: int) -> List[_Slab]:
+    """Partition the (path, group) order into word-aligned slabs. Group
+    indices are non-decreasing along path_order by construction
+    (abacus.path_order_groups), so each 32-group word is one contiguous run.
+    Ungrouped paths form a trailing no-bit slab (paths_len parity with the
+    classic itemizer, which walks every P/W line)."""
+    slabs: List[_Slab] = []
+    cur_word = None
+    cur_paths: List[int] = []
+    cur_bits: List[int] = []
+    for pid, g in path_order:
+        w = g >> 5
+        if w != cur_word:
+            if cur_paths:
+                slabs.append(
+                    _Slab(
+                        cur_word,
+                        np.asarray(cur_paths, dtype=np.int64),
+                        np.asarray(cur_bits, dtype=np.int64),
+                    )
+                )
+            cur_word, cur_paths, cur_bits = w, [], []
+        cur_paths.append(pid)
+        cur_bits.append(g & 31)
+    if cur_paths:
+        slabs.append(
+            _Slab(
+                cur_word,
+                np.asarray(cur_paths, dtype=np.int64),
+                np.asarray(cur_bits, dtype=np.int64),
+            )
+        )
+    grouped = {p for p, _ in path_order}
+    rest = np.asarray(
+        [p for p in range(n_paths) if p not in grouped], dtype=np.int64
+    )
+    if len(rest):
+        slabs.append(_Slab(-1, rest, np.zeros(len(rest), dtype=np.int64)))
+    return slabs
+
+
+def _pack_row(
+    ids: np.ndarray,
+    prefsum: np.ndarray,
+    gidx_rel: np.ndarray,
+    n_items_pad: int,
+) -> np.ndarray:
+    """OR this slab's per-path item runs into one packed uint32 word row."""
+    from .native import build_membership
+    from .runtime import effective_threads
+
+    M = np.zeros((1, n_items_pad), dtype=np.uint32)
+    k = len(gidx_rel)
+    done = build_membership(
+        ids,
+        prefsum,
+        np.arange(k, dtype=np.int64),
+        np.ascontiguousarray(gidx_rel, dtype=np.int64),
+        M,
+        effective_threads(),
+    )
+    if not done:
+        row = M[0]
+        for j in range(k):
+            run = ids[prefsum[j] : prefsum[j + 1]]
+            row[run] |= np.uint32(1 << int(gidx_rel[j]))
+    M[0, 0] = 0  # sentinel slot (reference: abacus.rs:549-552)
+    return M[0]
+
+
+def _slab_edges(
+    graph: GraphStorage,
+    ids: np.ndarray,
+    orient: np.ndarray,
+    prefsum: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-slab edge CSR from the node CSR (canonical edge ids of every
+    consecutive pair; counterpart of the unmasked edge branch in
+    itemize_paths)."""
+    from .native import lookup_edges
+    from .runtime import effective_threads
+
+    if len(ids) == 0:
+        return np.zeros(0, np.int64), prefsum.copy()
+    res = lookup_edges(
+        ids, orient, prefsum, graph.edge_hash(), effective_threads()
+    )
+    if res is not None:
+        return res
+    counts = np.diff(prefsum)
+    nz = counts > 0
+    keep = np.ones(len(ids), dtype=bool)
+    keep[prefsum[1:][nz] - 1] = False
+    idx = np.flatnonzero(keep)
+    eids = graph.edge_ids_for_pairs(
+        ids[idx], orient[idx], ids[idx + 1], orient[idx + 1]
+    )
+    e_pref = np.zeros(len(prefsum), dtype=np.int64)
+    np.cumsum(np.maximum(counts, 1) - 1, out=e_pref[1:])
+    return eids, e_pref
+
+
+def streamed_total_abaci(
+    graph: GraphStorage,
+    mask: GraphMask,
+    count_types: List[CountType],
+):
+    """Pipelined unmasked abacus build. Returns
+    (abaci, itemized, path_order, groups) or None when the classic path must
+    run (masks present / native tokenizer unavailable / no paths)."""
+    import os
+
+    if os.environ.get("PANACUS_TPU_NO_STREAM"):
+        return None
+    if mask.include_coords is not None or mask.exclude_coords is not None:
+        return None
+    if getattr(graph, "_int_name_mode", None) is None:
+        return None
+    n_paths = len(graph.path_segments)
+    if n_paths == 0:
+        return None
+
+    path_order, groups = path_order_groups(mask, graph.path_segments)
+    n_groups = len(groups)
+    slabs = _plan_slabs(path_order, n_paths)
+    need_edge = CountType.EDGE in count_types
+    need_node = any(ct != CountType.EDGE for ct in count_types)
+
+    node_stream = (
+        MembershipStream(graph.number_of_items(CountType.NODE), n_groups)
+        if need_node
+        else None
+    )
+    edge_stream = (
+        MembershipStream(graph.number_of_items(CountType.EDGE), n_groups)
+        if need_edge
+        else None
+    )
+    node_table = SlabbedItemTable(n_paths) if need_node else None
+    edge_table = SlabbedItemTable(n_paths) if need_edge else None
+    paths_len: Dict[PathSegment, Tuple[int, int]] = {}
+
+    log.info(
+        "streamed membership build: %d slabs, %d groups, counts %s",
+        len(slabs),
+        n_groups,
+        count_types,
+    )
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(graph.all_path_item_runs, slabs[0].path_ids)
+        for i, slab in enumerate(slabs):
+            batch = fut.result()
+            if batch is None:  # tokenizer bailed: let the classic path run
+                return None
+            if i + 1 < len(slabs):
+                fut = ex.submit(
+                    graph.all_path_item_runs, slabs[i + 1].path_ids
+                )
+            ids, orient, prefsum, bp = batch
+            if need_node:
+                # paths_len parity with the classic itemizer, which fills it
+                # only for node/bp runs (itemize.py zero-copy shortcut)
+                counts = np.diff(prefsum)
+                segs = graph.path_segments
+                for k, pid in enumerate(slab.path_ids):
+                    paths_len[segs[int(pid)]] = (int(counts[k]), int(bp[k]))
+                node_table.add_slab(slab.path_ids, ids, prefsum)
+                if slab.word >= 0:
+                    node_stream.feed(
+                        slab.word,
+                        _pack_row(
+                            ids,
+                            prefsum,
+                            slab.gidx_rel,
+                            node_stream.engine.n_items_pad,
+                        ),
+                    )
+            if need_edge:
+                eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
+                edge_table.add_slab(slab.path_ids, eids, e_pref)
+                if slab.word >= 0:
+                    edge_stream.feed(
+                        slab.word,
+                        _pack_row(
+                            eids,
+                            e_pref,
+                            slab.gidx_rel,
+                            edge_stream.engine.n_items_pad,
+                        ),
+                    )
+
+    node_engine = node_stream.finalize() if need_node else None
+    edge_engine = edge_stream.finalize() if need_edge else None
+
+    item_tables = [
+        edge_table if ct == CountType.EDGE else node_table
+        for ct in count_types
+    ]
+    itemized = ItemizeResult(
+        item_tables=item_tables,
+        exclude_tables=[None] * len(count_types),
+        subset_covered_bps=None,
+        paths_len=paths_len,
+    )
+    abaci: Dict[CountType, AbacusByTotal] = {}
+    for ct in count_types:
+        engine = edge_engine if ct == CountType.EDGE else node_engine
+        abaci[ct] = AbacusByTotal(ct, engine, groups, {}, graph)
+        log.info(
+            "abacus has %d path groups and %d countables",
+            n_groups,
+            engine.n_items,
+        )
+    return abaci, itemized, path_order, groups
