@@ -104,15 +104,47 @@ class PathSegment:
         return self.id()
 
 
+def _read_gz_streamed(gfa_file: str) -> bytearray:
+    """Stream-decompress a (possibly multi-member) gzip file into ONE
+    growing buffer via readinto — no chunk-list accumulation + join, so peak
+    memory stays ~1x the uncompressed size (the reference streams through
+    MultiGzDecoder, src/io.rs:23-33; our columnar indexer needs the whole
+    buffer, so we stream *into* it). The initial capacity comes from the
+    gzip ISIZE footer (exact for single-member files, a floor otherwise)."""
+    import os as _os
+
+    csize = _os.path.getsize(gfa_file)
+    isize = 0
+    try:
+        with open(gfa_file, "rb") as raw:
+            raw.seek(-4, 2)
+            isize = int.from_bytes(raw.read(4), "little")
+    except OSError:
+        pass
+    cap = max(isize, 2 * csize, 1 << 20)
+    buf = bytearray(cap)
+    pos = 0
+    with gzip.open(gfa_file, "rb") as f:
+        while True:
+            if pos == len(buf):
+                buf.extend(bytes(len(buf) // 2))  # grow 1.5x
+            n = f.readinto(memoryview(buf)[pos:])
+            if not n:
+                break
+            pos += n
+    del buf[pos:]
+    return buf
+
+
 def _read_all(gfa_file: str):
-    """Whole-file buffer: gzip-decompressed bytes, or a read-only mmap for
-    plain files (no copy; repeat runs hit the page cache). Falls back to a
-    bytes copy when the file doesn't end in a newline."""
+    """Whole-file buffer: gzip stream-decompressed into one buffer, or a
+    read-only mmap for plain files (no copy; repeat runs hit the page
+    cache). Falls back to a bytes copy when the file doesn't end in a
+    newline."""
     log.info("loading graph from %s", gfa_file)
     if gfa_file.endswith(".gz"):
         log.info("assuming that %s is gzip compressed..", gfa_file)
-        with gzip.open(gfa_file, "rb") as f:
-            return f.read()
+        return _read_gz_streamed(gfa_file)
     with open(gfa_file, "rb") as f:
         try:
             import mmap
@@ -270,7 +302,9 @@ class GraphStorage:
         self.gfa_file = gfa_file
         self.is_nice = nice
         data = _read_all(gfa_file)
-        if isinstance(data, bytes) and data and not data.endswith(b"\n"):
+        if isinstance(data, (bytes, bytearray)) and data and not data.endswith(
+            b"\n"
+        ):
             data += b"\n"
         self._data = data
         buf = np.frombuffer(data, dtype=np.uint8)
@@ -393,7 +427,8 @@ class GraphStorage:
             d: Dict[bytes, int] = {}
             data = self._data
             for i in range(n):
-                name = data[name_starts[i] : name_ends[i]]
+                # bytes(): gz-streamed buffers are bytearray (unhashable)
+                name = bytes(data[name_starts[i] : name_ends[i]])
                 if name in d:
                     raise ValueError(
                         f"Segment with ID {name.decode()} occurs multiple times in GFA"
@@ -579,7 +614,7 @@ class GraphStorage:
             data = self._data
             ids = np.fromiter(
                 (
-                    d[data[int(s) : int(e)]]
+                    d[bytes(data[int(s) : int(e)])]
                     for s, e in zip(tok_starts, tok_ends)
                 ),
                 dtype=np.int64,
@@ -660,12 +695,12 @@ class GraphStorage:
             d = self._node2id
             data = self._data
             u = np.fromiter(
-                (d[data[int(s) : int(e)]] for s, e in zip(u_names[0], u_names[1])),
+                (d[bytes(data[int(s) : int(e)])] for s, e in zip(u_names[0], u_names[1])),
                 dtype=np.int64,
                 count=n,
             )
             v = np.fromiter(
-                (d[data[int(s) : int(e)]] for s, e in zip(v_names[0], v_names[1])),
+                (d[bytes(data[int(s) : int(e)])] for s, e in zip(v_names[0], v_names[1])),
                 dtype=np.int64,
                 count=n,
             )
