@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end histgrowth (node count) throughput on a synthetic
-pangenome graph, measured as GFA MB/s.
+"""Benchmark: end-to-end histgrowth throughput on a synthetic pangenome
+graph at HPRC-chr22 scale, plus a device-roofline stage.
 
-Baseline: the reference panacus processes the 402 MB HPRC chr22 pggb graph
-in ~17 s for node histgrowth (BASELINE.md) => 23.65 MB/s. vs_baseline is
-our MB/s over that number.
+Headline metric: `histgrowth -c all` (node+bp+edge hists and growth curves,
+`-q 0,0.5,1.0 -l 0,1,2`) measured as GFA MB/s. Reference baseline: panacus
+processes the 402 MB HPRC chr22 pggb graph in ~17 s (node) + ~79 s (edge)
+(BASELINE.md) => 402/96 = 4.19 MB/s for the combined workload; vs_baseline
+is our MB/s over that number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The synthetic graph (deterministic, cached in /tmp) mimics the byte profile
-of a pggb GFA: P-lines dominate, integer node names, short segments.
+Secondary stages (stderr): node-only histgrowth (r01 continuity; baseline
+23.6 MB/s), edge-only (5.1 MB/s), gzip-input node histgrowth, and a
+device-only popcount-hist roofline on a >=1 GiB on-device matrix reported
+as a fraction of HBM speed-of-light (device_bw_frac in the JSON line).
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "device_bw_frac", ...}.
+The synthetic graph (deterministic, cached in /tmp) mimics an HPRC pggb
+GFA: P- and W-lines dominate the bytes, 45 samples x 2 haplotypes = 90
+haplotype groups, integer node names, short segments.
 """
 
 from __future__ import annotations
@@ -22,36 +31,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_MBPS = 402.0 / 17.0
+BASELINE_ALL_MBPS = 402.0 / (17.0 + 79.0)
+BASELINE_NODE_MBPS = 402.0 / 17.0
+BASELINE_EDGE_MBPS = 402.0 / 79.0
 
 N_NODES = int(os.environ.get("PANACUS_BENCH_NODES", 900_000))
-N_PATHS = int(os.environ.get("PANACUS_BENCH_PATHS", 80))
+N_PATHS = int(os.environ.get("PANACUS_BENCH_PATHS", 90))
 MAX_GAP = 4
 SEED = 7
-GEN_VERSION = 4  # bump when make_graph changes
+GEN_VERSION = 5  # bump when make_graph changes
 CACHE = f"/tmp/panacus_bench_v{GEN_VERSION}_{N_NODES}_{N_PATHS}_{SEED}.gfa"
 
 
 def make_graph(path: str) -> None:
     """Deterministic pggb-like graph at chr22-pggb scale by default
-    (~360 MB; the reference baseline graph is 402 MB): P-lines dominate
-    the bytes, integer node names, short segments. Each path walks the
-    node line with random gaps in 1..MAX_GAP, and every (u, u+g) pair is
-    declared as an L line, so paths are edge-consistent by construction —
-    no cross-path dedup pass needed, which keeps generation fast on VMs
-    with slow fresh-page memory."""
+    (~370 MB; the reference baseline graph is 402 MB): path lines dominate
+    the bytes, integer node names, short segments. 45 samples x 2
+    haplotypes; haplotype 0 is a P line (PanSN name), haplotype 1 a W line
+    — HPRC graphs carry both spellings. Each path walks the node line with
+    gaps in 1..MAX_GAP and every (u, u+g) pair is declared as an L line, so
+    paths are edge-consistent by construction."""
     rng = np.random.default_rng(SEED)
     t0 = time.time()
     lens = rng.integers(1, 17, size=N_NODES)
     seq_pool = ("ACGT" * 5)[:16]
     n_edges = sum(N_NODES - g for g in range(1, MAX_GAP + 1))
-    # one gap pool shared by all paths at different offsets: one rng call
     gap_pool = rng.integers(
         1, MAX_GAP + 1, size=N_NODES + N_PATHS, dtype=np.int64
     )
 
     def join_lines(parts, sep=b"\n"):
-        # parts: numpy bytes array -> single bytes blob with trailing sep
         return sep.join(parts.tolist()) + sep
 
     with open(path, "wb") as f:
@@ -73,69 +82,177 @@ def make_graph(path: str) -> None:
             f.write(join_lines(l_lines))
             del l_lines
         for p in range(N_PATHS):
+            sample, hap = p // 2, p % 2
             visits = 1 + np.cumsum(gap_pool[p : p + N_NODES])
             visits = visits[: np.searchsorted(visits, N_NODES, side="right")]
-            toks = np.char.add(visits.astype("S12"), b"+")
-            f.write(f"P\tsample{p}#1#chr1\t".encode())
-            f.write(join_lines(toks, sep=b",")[:-1])
-            f.write(b"\t*\n")
+            if hap == 0:
+                toks = np.char.add(visits.astype("S12"), b"+")
+                f.write(f"P\ts{sample}#0#chr1\t".encode())
+                f.write(join_lines(toks, sep=b",")[:-1])
+                f.write(b"\t*\n")
+            else:
+                toks = np.char.add(b">", visits.astype("S12"))
+                f.write(f"W\ts{sample}\t1\tchr1\t*\t*\t".encode())
+                f.write(b"".join(toks.tolist()))
+                f.write(b"\n")
     sys.stderr.write(
         f"[bench] generated {path}: {os.path.getsize(path) / 1e6:.1f} MB, "
         f"{n_edges} edges, in {time.time() - t0:.1f}s\n"
     )
 
 
-def run_histgrowth(gfa: str):
+def _broker_pieces(gfa: str, count_types, index_edges: bool):
+    """GraphStorage -> mask -> streamed (or classic) abaci: the production
+    counting path (panacus_tpu/stream.py + broker.py)."""
     from panacus_tpu.abacus import AbacusByTotal, path_order_groups
     from panacus_tpu.gfa import GraphStorage
-    from panacus_tpu.hist import Hist
     from panacus_tpu.itemize import itemize_paths
     from panacus_tpu.mask import GraphMask, GraphMaskParameters
-    from panacus_tpu.utils import CountType, ThresholdContainer
+    from panacus_tpu.stream import streamed_total_abaci
 
     t0 = time.time()
-    g = GraphStorage(gfa, index_edges=False)
+    g = GraphStorage(gfa, index_edges=index_edges)
     mask = GraphMask.from_datamgr(
-        GraphMaskParameters(groupby_sample=True), g
+        GraphMaskParameters(groupby_haplotype=True), g
     )
-    itemized = itemize_paths(g, mask, [CountType.NODE])
-    t_parse = time.time() - t0
+    t_index = time.time() - t0
 
     t1 = time.time()
-    path_order, groups = path_order_groups(mask, g.path_segments)
-    ab = AbacusByTotal.from_itemization(
-        CountType.NODE, 0, itemized, path_order, groups, g
-    )
-    hist = ab.construct_hist()
-    t_device = time.time() - t1
+    res = streamed_total_abaci(g, mask, count_types)
+    if res is None:  # fallback: classic path
+        itemized = itemize_paths(g, mask, count_types)
+        path_order, groups = path_order_groups(mask, g.path_segments)
+        abaci = {
+            ct: AbacusByTotal.from_itemization(
+                ct, slot, itemized, path_order, groups, g
+            )
+            for slot, ct in enumerate(count_types)
+        }
+    else:
+        abaci = res[0]
+    t_stream = time.time() - t1
+    return g, abaci, (t_index, t_stream)
 
-    t2 = time.time()
-    h = Hist(CountType.NODE, [int(x) for x in hist])
-    tc = ThresholdContainer.parse_params("0,0.5,1.0", "0,1,2")
-    growths = h.calc_all_growths(tc)
-    t_growth = time.time() - t2
-    return hist, growths, (t_parse, t_device, t_growth)
 
-
-def run_histgrowth_edge(gfa: str):
-    from panacus_tpu.abacus import AbacusByTotal, path_order_groups
-    from panacus_tpu.gfa import GraphStorage
+def run_histgrowth(gfa: str, count: str):
+    """One histgrowth run. count: 'all' | 'node' | 'edge'. Returns
+    (hists dict, growth count, phase times)."""
     from panacus_tpu.hist import Hist
-    from panacus_tpu.itemize import itemize_paths
-    from panacus_tpu.mask import GraphMask, GraphMaskParameters
     from panacus_tpu.utils import CountType, ThresholdContainer
 
-    g = GraphStorage(gfa, index_edges=True)
-    mask = GraphMask.from_datamgr(GraphMaskParameters(groupby_sample=True), g)
-    itemized = itemize_paths(g, mask, [CountType.EDGE])
-    path_order, groups = path_order_groups(mask, g.path_segments)
-    ab = AbacusByTotal.from_itemization(
-        CountType.EDGE, 0, itemized, path_order, groups, g
+    counts = {
+        "all": [CountType.NODE, CountType.BP, CountType.EDGE],
+        "node": [CountType.NODE],
+        "edge": [CountType.EDGE],
+    }[count]
+    g, abaci, (t_index, t_stream) = _broker_pieces(
+        gfa, counts, index_edges=CountType.EDGE in counts
     )
-    hist = ab.construct_hist()
-    h = Hist(CountType.EDGE, [int(x) for x in hist])
+
+    # device tail: every membership row is already HBM-resident after the
+    # streamed build, so this is the fused hist dispatches + result fetch
+    # (node + bp share one engine => one batched pass, see construct_hists)
+    from panacus_tpu.abacus import construct_hists
+
+    t2 = time.time()
+    hists = {
+        ct: Hist(ct, [int(x) for x in h])
+        for ct, h in construct_hists(abaci).items()
+    }
+    t_tail = time.time() - t2
+
+    t3 = time.time()
     tc = ThresholdContainer.parse_params("0,0.5,1.0", "0,1,2")
-    return h.calc_all_growths(tc)
+    n_growth = 0
+    for h in hists.values():
+        n_growth += len(h.calc_all_growths(tc))
+    t_growth = time.time() - t3
+    return hists, n_growth, (t_index, t_stream, t_tail, t_growth)
+
+
+def run_roofline():
+    """Device-only popcount-hist throughput of the pallas streaming kernel
+    on a >=1 GiB on-device matrix (no host transfer in the timed region):
+    operationalizes BASELINE.md's 'popcount-bandwidth speed of light'.
+    Returns (bytes/s, frac of HBM peak) or None off-TPU.
+
+    Timing note: on the tunneled backend block_until_ready can return
+    before execution finishes, and a single fetch RTT (~30 ms) dwarfs the
+    ~3 ms pass — so K passes are chained serially inside ONE jit (each
+    iteration's weights depend on the loop counter, defeating CSE) and a
+    single tiny result fetch bounds the whole chain."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from panacus_tpu.ops import pallas_kernels as pk
+    from panacus_tpu.runtime import hbm_peak_bytes_per_s
+
+    dev = jax.devices()[0]
+    peak = hbm_peak_bytes_per_s(dev)
+    if dev.platform not in ("tpu", "axon") or peak is None:
+        sys.stderr.write(
+            f"[bench] roofline: skipped ({dev.device_kind} is not a "
+            "known-peak TPU)\n"
+        )
+        return None
+    n_words, n_items = 32, 1 << 23  # 1024 groups x 8.4M items = 1.07 GB
+    n_bins = n_words * 32 + 2
+    K = 16
+    M = jax.random.bits(jax.random.PRNGKey(0), (n_words, n_items), jnp.uint32)
+    w = jax.random.randint(
+        jax.random.PRNGKey(1), (1, n_items), 0, 1 << 20, dtype=jnp.int32
+    )
+
+    @jax.jit
+    def chain(M, w):
+        def body(i, acc):
+            return acc + pk.fused_hist_tpu(M, w + i, n_bins).sum()
+
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    np.asarray(chain(M, w))  # compile + first execution
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(M, w))
+        times.append(time.perf_counter() - t0)
+    t = sorted(times)[1] / K
+    bw = M.nbytes / t
+    frac = bw / peak
+    sys.stderr.write(
+        f"[bench] roofline ({dev.device_kind}): {M.nbytes / 1e6:.0f} MB "
+        f"weighted hist in {t * 1e3:.1f} ms/pass => {bw / 1e9:.0f} GB/s = "
+        f"{frac:.2f} of HBM peak ({peak / 1e9:.0f} GB/s)\n"
+    )
+    return bw, frac
+
+
+def _timed_stage(name, fn, size_mb, baseline, reps=3):
+    """Warm-up + best-of-reps wall clock; logs phases; returns best MB/s."""
+    import gc
+
+    fn()  # warm-up: compile cache, transfer shapes, page heat
+    best = None
+    for rep in range(reps):
+        gc.collect()
+        t0 = time.time()
+        _, _, phases = fn()
+        wall = time.time() - t0
+        sys.stderr.write(
+            f"[bench] {name} pass {rep}: {size_mb:.1f} MB in {wall:.2f}s "
+            f"(index {phases[0]:.2f}s, stream {phases[1]:.2f}s, "
+            f"device-tail {phases[2]:.3f}s, growth {phases[3]:.2f}s)\n"
+        )
+        if best is None or wall < best:
+            best = wall
+    mbps = size_mb / best
+    sys.stderr.write(
+        f"[bench] {name}: {mbps:.1f} MB/s "
+        f"(reference {baseline:.1f} MB/s => {mbps / baseline:.1f}x)\n"
+    )
+    return mbps
 
 
 def run_inner() -> None:
@@ -146,63 +263,75 @@ def run_inner() -> None:
         make_graph(CACHE)
     size_mb = os.path.getsize(CACHE) / 1e6
 
-    # warm-up pass: populates the persistent XLA compile cache so the timed
-    # pass measures steady-state throughput, not first-compile latency
-    sys.stderr.write("[bench] warm-up pass..\n")
-    run_histgrowth(CACHE)
-
-    # best of two timed passes: the VM's balloon/reclaim makes single
-    # measurements noisy; steady-state throughput is the honest figure
-    import gc
-
-    best = None
-    for rep in range(3):
-        gc.collect()
-        t0 = time.time()
-        hist, growths, (tp, td, tg) = run_histgrowth(CACHE)
-        wall = time.time() - t0
-        sys.stderr.write(
-            f"[bench] pass {rep}: {size_mb:.1f} MB in {wall:.2f}s "
-            f"(parse {tp:.2f}s, device {td:.2f}s, growth {tg:.2f}s)\n"
-        )
-        if best is None or wall < best:
-            best = wall
-    wall = best
-    mbps = size_mb / wall
-    sys.stderr.write(
-        f"[bench] {size_mb:.1f} MB in {wall:.2f}s => {mbps:.1f} MB/s; "
-        f"hist head {hist[:4].tolist()}\n"
+    # headline: -c all (node+bp+edge hists + 3 growth curves each)
+    mbps_all = _timed_stage(
+        "histgrowth -c all",
+        lambda: run_histgrowth(CACHE, "all"),
+        size_mb,
+        BASELINE_ALL_MBPS,
     )
 
-    # secondary: edge-count histgrowth (reference chr22 edge baseline:
-    # 402 MB / 79 s = 5.1 MB/s) — reported on stderr. Warm-up + best-of-2:
-    # steady-state throughput, like the node stage
+    # continuity stages
     try:
-        run_histgrowth_edge(CACHE)
-        wall_e = None
-        for _ in range(2):
-            gc.collect()
-            t0 = time.time()
-            run_histgrowth_edge(CACHE)
-            w = time.time() - t0
-            if wall_e is None or w < wall_e:
-                wall_e = w
-        sys.stderr.write(
-            f"[bench] edge histgrowth: {size_mb / wall_e:.1f} MB/s "
-            f"(reference baseline 5.1 MB/s => {size_mb / wall_e / 5.09:.2f}x)\n"
+        _timed_stage(
+            "histgrowth node",
+            lambda: run_histgrowth(CACHE, "node"),
+            size_mb,
+            BASELINE_NODE_MBPS,
+            reps=2,
+        )
+        _timed_stage(
+            "histgrowth edge",
+            lambda: run_histgrowth(CACHE, "edge"),
+            size_mb,
+            BASELINE_EDGE_MBPS,
+            reps=2,
         )
     except Exception as e:
-        sys.stderr.write(f"[bench] edge stage failed: {e}\n")
-    print(
-        json.dumps(
-            {
-                "metric": "histgrowth_node_throughput",
-                "value": round(mbps, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 3),
-            }
+        sys.stderr.write(f"[bench] secondary stage failed: {e}\n")
+
+    # gzip-input stage (streamed decompression; MB/s on uncompressed bytes)
+    try:
+        gz = CACHE + ".gz"
+        if not os.path.exists(gz):
+            import subprocess
+
+            t0 = time.time()
+            subprocess.run(["gzip", "-1", "-k", "-f", CACHE], check=True)
+            sys.stderr.write(
+                f"[bench] gzipped graph in {time.time() - t0:.1f}s "
+                f"({os.path.getsize(gz) / 1e6:.0f} MB)\n"
+            )
+        _timed_stage(
+            "histgrowth node (gz input)",
+            lambda: run_histgrowth(gz, "node"),
+            size_mb,
+            BASELINE_NODE_MBPS,
+            reps=2,
         )
-    )
+    except Exception as e:
+        sys.stderr.write(f"[bench] gz stage failed: {e}\n")
+
+    # device roofline
+    frac = None
+    bw = None
+    try:
+        r = run_roofline()
+        if r is not None:
+            bw, frac = r
+    except Exception as e:
+        sys.stderr.write(f"[bench] roofline failed: {e}\n")
+
+    out = {
+        "metric": "histgrowth_all_throughput",
+        "value": round(mbps_all, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps_all / BASELINE_ALL_MBPS, 3),
+    }
+    if frac is not None:
+        out["device_bw_frac"] = round(frac, 3)
+        out["device_bw_gbps"] = round(bw / 1e9, 1)
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -236,11 +365,10 @@ def main() -> None:
     cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
     attempts.append(("cpu host", cpu_env, budget))
 
-    # run every backend and report the best end-to-end throughput: the
-    # engine targets TPU, but for graphs this size a tunneled TPU pays a
-    # per-dispatch network RTT a co-located chip would not — backend choice
-    # is a scheduling decision, and the framework supports both
+    # run every backend and report the best end-to-end throughput; the
+    # roofline fields always come from the accelerator attempt
     results = []
+    device_fields = {}
     for name, env, t in attempts:
         sys.stderr.write(f"[bench] attempt: {name} (timeout {t}s)\n")
         try:
@@ -260,22 +388,27 @@ def main() -> None:
             if ln.startswith("{"):
                 line = ln
         if r.returncode == 0 and line:
-            results.append((name, json.loads(line)))
-            sys.stderr.write(
-                f"[bench] {name}: {results[-1][1]['value']} MB/s\n"
-            )
+            parsed = json.loads(line)
+            if "device_bw_frac" in parsed:
+                device_fields = {
+                    "device_bw_frac": parsed["device_bw_frac"],
+                    "device_bw_gbps": parsed["device_bw_gbps"],
+                }
+            results.append((name, parsed))
+            sys.stderr.write(f"[bench] {name}: {parsed['value']} MB/s\n")
         else:
             sys.stderr.write(f"[bench] {name} failed (rc={r.returncode})\n")
     if results:
         best_name, best = max(results, key=lambda kv: kv[1]["value"])
         sys.stderr.write(f"[bench] best backend: {best_name}\n")
+        best.update(device_fields)
         print(json.dumps(best))
         return
     # last resort: report zero throughput rather than nothing
     print(
         json.dumps(
             {
-                "metric": "histgrowth_node_throughput",
+                "metric": "histgrowth_all_throughput",
                 "value": 0.0,
                 "unit": "MB/s",
                 "vs_baseline": 0.0,

@@ -202,24 +202,52 @@ class AbacusByTotal:
             self._countable = cov
         return self._countable
 
-    def construct_hist(self) -> np.ndarray:
-        log.info("constructing histogram..")
-        w = np.ones(self.engine.n_items + 1, dtype=np.int32)
-        w[0] = 0
-        return self.engine.hist(w)
-
-    def construct_hist_bps(self) -> np.ndarray:
-        log.info("constructing bp histogram..")
+    def _hist_weights(self, bps: bool) -> "np.ndarray | None":
+        """Weight vector for the total hist; None = all-ones, which the
+        engine builds device-side (no host->device weight upload)."""
+        if not bps:
+            return None
         w = self._graph.node_lens[: self.engine.n_items + 1].astype(np.int32)
         w = w.copy()
         w[0] = 0
-        hist = self.engine.hist(w)
+        return w
+
+    def _finish_hist_bps(self, hist: np.ndarray) -> np.ndarray:
         if self.uncovered_bps:  # unmasked runs skip the coverage fetch
             cov = self.countable
             for sid, uncov in self.uncovered_bps.items():
                 hist[cov[sid]] -= uncov
                 hist[0] += uncov
         return hist
+
+    def construct_hist(self) -> np.ndarray:
+        log.info("constructing histogram..")
+        return self.engine.hist(self._hist_weights(bps=False))
+
+    def construct_hist_bps(self) -> np.ndarray:
+        log.info("constructing bp histogram..")
+        return self._finish_hist_bps(
+            self.engine.hist(self._hist_weights(bps=True))
+        )
+
+
+def construct_hists(abaci: "Dict[CountType, AbacusByTotal]"):
+    """All total hists for a run. Count types sharing one engine (node + bp
+    on the streamed build) are batched into a single pass over the
+    membership matrix via CountingEngine.hist_multi."""
+    by_engine: Dict[int, List[CountType]] = {}
+    for ct, ab in abaci.items():
+        by_engine.setdefault(id(ab.engine), []).append(ct)
+    hists: Dict[CountType, np.ndarray] = {}
+    for cts in by_engine.values():
+        engine = abaci[cts[0]].engine
+        ws = [abaci[ct]._hist_weights(ct == CountType.BP) for ct in cts]
+        hs = engine.hist_multi(ws)
+        for ct, h in zip(cts, hs):
+            if ct == CountType.BP:
+                h = abaci[ct]._finish_hist_bps(h)
+            hists[ct] = h
+    return hists
 
 
 class AbacusByGroup:

@@ -235,15 +235,12 @@ class GraphBroker:
             self.path_lens = itemized.paths_len
 
     def _set_hists(self) -> None:
-        hists = {}
-        for ct, ab in self.total_abaci.items():
-            cov = (
-                ab.construct_hist_bps()
-                if ct == CountType.BP
-                else ab.construct_hist()
-            )
-            hists[ct] = Hist(ct, [int(x) for x in cov])
-        self.hists = hists
+        from .abacus import construct_hists
+
+        self.hists = {
+            ct: Hist(ct, [int(x) for x in h])
+            for ct, h in construct_hists(self.total_abaci).items()
+        }
 
     def _set_abacus_by_group(self, count: CountType) -> None:
         slot = self._itemized_counts.index(count)

@@ -48,6 +48,50 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def count_device(m_bytes: int):
+    """Placement policy for a membership matrix of m_bytes: the default
+    accelerator, or the host XLA backend when the accelerator sits behind a
+    link so slow that shipping M costs more than counting it on the host
+    (tunneled TPU pools measure ~10-20 MB/s; direct-attached PCIe is
+    >= 10 GB/s, where the device always wins).
+
+    Returns a jax.Device to commit M to, or None for default placement.
+    Overrides: PANACUS_TPU_FORCE_DEVICE=1 (always accelerator),
+    PANACUS_TPU_FORCE_HOST=1 (always host XLA)."""
+    devs = jax.devices()
+    if len(devs) != 1 or devs[0].platform not in ("tpu", "axon"):
+        return None
+    if os.environ.get("PANACUS_TPU_FORCE_DEVICE"):
+        return None
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:  # pragma: no cover - no host backend
+        return None
+    if os.environ.get("PANACUS_TPU_FORCE_HOST"):
+        return cpu
+    from ..runtime import device_link_profile
+
+    try:
+        bw, rtt = device_link_profile()
+    except Exception:  # pragma: no cover - probe failure
+        return None
+    # upload + a few dispatch round trips vs ~2 host passes at the measured
+    # ~1 GB/s the XLA:CPU fused scatter-hist achieves on 2 cores
+    t_accel = m_bytes / bw + 4 * rtt
+    t_host = 2.0 * m_bytes / 1.0e9
+    if t_accel <= t_host:
+        return None
+    log.info(
+        "membership matrix (%.0f MB) stays on host XLA: link %.0f MB/s "
+        "would spend %.2fs shipping it (host pass ~%.2fs)",
+        m_bytes / 1e6,
+        bw / 1e6,
+        t_accel,
+        t_host,
+    )
+    return cpu
+
+
 def dedup_pairs(
     items: np.ndarray, groups: np.ndarray, n_groups: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -131,6 +175,15 @@ def membership_from_pairs(
     return M
 
 
+def _put_like(x: np.ndarray, M) -> jax.Array:
+    """Commit a host array to M's device (direct host->device path; avoids
+    bouncing through the default device when M lives on the host backend)."""
+    devs = M.devices()
+    if len(devs) == 1:
+        return jax.device_put(x, next(iter(devs)))
+    return jnp.asarray(x)
+
+
 def unpack_block(M_block, n_groups: int) -> jax.Array:
     """[n_words, B] packed uint32 -> [n_groups, B] 0/1 int32 presence."""
     n_words, B = M_block.shape
@@ -196,12 +249,18 @@ def ordered_growth(
     thr[0] = np.iinfo(np.int32).max  # lp == -1 -> never passes
     for g in range(n_groups):
         thr[g + 1] = int(np.ceil((g + 1) * quorum_rel))
-    n_blocks = max(n_items_pad // ORDERED_BLOCK, 1)
     w = np.zeros(n_items_pad, dtype=np.int32)
     w[: len(weights)] = weights
-    partials = _ordered_growth_all(
-        M, jnp.asarray(w), jnp.asarray(thr), c_min, n_blocks
-    )
+    mesh = item_mesh_of(M)
+    if mesh is not None:
+        per = n_items_pad // mesh.devices.size
+        fn = _sharded_ordered_fn(mesh, c_min, max(per // ORDERED_BLOCK, 1))
+        partials = fn(M, jnp.asarray(w), jnp.asarray(thr))
+    else:
+        n_blocks = max(n_items_pad // ORDERED_BLOCK, 1)
+        partials = _ordered_growth_all(
+            M, _put_like(w, M), _put_like(thr, M), c_min, n_blocks
+        )
     return np.asarray(partials).astype(np.int64).sum(axis=0)
 
 
@@ -265,18 +324,131 @@ def similarity_intersections(
     w[: len(weights)] = np.asarray(weights).astype(np.int64)
     w_lo = (w & 0xFFFF).astype(np.int32)
     w_hi = (w >> 16).astype(np.int32)
-    n_blocks = max(n_items_pad // SIM_BLOCK, 1)
+    mesh = item_mesh_of(M)
+    if mesh is not None:
+        per = n_items_pad // mesh.devices.size
+        sim_fn = _sharded_sim_fn(mesh, max(per // SIM_BLOCK, 1))
 
-    def run(wv):
-        lo, hi = _sim_all(M, jnp.asarray(wv), n_blocks)
-        return np.asarray(lo).astype(np.int64) + (
-            np.asarray(hi).astype(np.int64) << 16
-        )
+        def run(wv):
+            lo, hi = sim_fn(M, jnp.asarray(wv))  # [n_dev, G, G] planes
+            return np.asarray(lo).astype(np.int64).sum(axis=0) + (
+                np.asarray(hi).astype(np.int64).sum(axis=0) << 16
+            )
+
+    else:
+        n_blocks = max(n_items_pad // SIM_BLOCK, 1)
+
+        def run(wv):
+            lo, hi = _sim_all(M, _put_like(wv, M), n_blocks)
+            return np.asarray(lo).astype(np.int64) + (
+                np.asarray(hi).astype(np.int64) << 16
+            )
 
     total = run(w_lo)
     if w_hi.any():
         total = total + (run(w_hi) << 16)
     return total[:n_groups, :n_groups].astype(np.float64)
+
+
+# -- sharded dispatch (multi-chip) ----------------------------------------------
+#
+# When M is placed item-sharded (NamedSharding over an "items" mesh axis),
+# the blocked scan ops run under shard_map so each device scans ONLY its
+# local item columns — no GSPMD-induced reshard of the item axis is even
+# expressible. Every output is a tiny per-shard partial ([n_bins],
+# [n_blocks, n_groups], [G, G] planes) concatenated along the shard axis
+# and summed exactly on the host in int64: the hot loop needs ZERO
+# cross-device collectives (tests/test_sharded_dispatch.py asserts the
+# compiled HLO is collective-free).
+
+
+def item_mesh_of(M) -> Optional[object]:
+    """The mesh M is item-sharded over, or None (single device / replicated /
+    sharded on a different axis)."""
+    s = getattr(M, "sharding", None)
+    mesh = getattr(s, "mesh", None)
+    spec = getattr(s, "spec", None)
+    if mesh is None or spec is None:
+        return None
+    if "items" not in getattr(mesh, "axis_names", ()):
+        return None
+    if mesh.devices.size <= 1:
+        return None
+    if len(spec) < 2 or spec[1] != "items":
+        return None
+    return mesh
+
+
+@functools.cache
+def _sharded_hist_fn(mesh, n_bins: int):
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(m_local, w_local):
+        cov = jnp.sum(
+            jax.lax.population_count(m_local).astype(jnp.int32),
+            axis=0,
+            dtype=jnp.int32,
+        )
+        h = jnp.zeros(n_bins, dtype=jnp.int32).at[cov].add(
+            w_local.astype(jnp.int32), mode="drop"
+        )
+        return h[None]
+
+    return jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(None, "items"), P("items")),
+            out_specs=P("items"),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_hist(M, w: np.ndarray, n_bins: int, mesh) -> np.ndarray:
+    """[n_bins] int64 weighted coverage histogram; exact while the global
+    total weight < 2^31 (per-shard totals are <= the global one)."""
+    parts = _sharded_hist_fn(mesh, n_bins)(M, jnp.asarray(w))
+    return np.asarray(parts).astype(np.int64).sum(axis=0)
+
+
+@functools.cache
+def _sharded_ordered_fn(mesh, c_min: int, n_blocks_local: int):
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(m_local, w_local, thr):
+        return _ordered_growth_all(
+            m_local, w_local, thr, c_min, n_blocks_local
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(None, "items"), P("items"), P()),
+            out_specs=P("items"),
+            check_vma=False,
+        )
+    )
+
+
+@functools.cache
+def _sharded_sim_fn(mesh, n_blocks_local: int):
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(m_local, w_local):
+        lo, hi = _sim_all(m_local, w_local, n_blocks_local)
+        return lo[None], hi[None]
+
+    return jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(None, "items"), P("items")),
+            out_specs=(P("items"), P("items")),
+            check_vma=False,
+        )
+    )
 
 
 # -- streaming build -----------------------------------------------------------
@@ -314,6 +486,12 @@ class MembershipStream:
             self.engine.n_items_pad % len(jax.devices()) != 0
         ):
             self._sharding = None
+        self._dev = None
+        if self._sharding is None:
+            self._dev = count_device(
+                self.engine.n_words * self.engine.n_items_pad * 4
+            )
+            self.engine._dev = self._dev
         # warm the per-shape transfer path (first device_put of a new shape
         # pays a one-time setup cost on tunneled backends); fire and forget
         self._warm = self._put(
@@ -323,6 +501,8 @@ class MembershipStream:
     def _put(self, row: np.ndarray):
         if self._sharding is not None:
             return jax.device_put(row, self._sharding)
+        if self._dev is not None:
+            return jax.device_put(row, self._dev)
         return jax.device_put(row)
 
     def feed(self, word: int, row: np.ndarray) -> None:
@@ -372,26 +552,41 @@ class CountingEngine:
         self.n_items = n_items
         self.n_groups = n_groups
         self.n_words = max((n_groups + 31) // 32, 1)
-        self.n_items_pad = _round_up(n_items + 1, ITEM_ALIGN)
+        # multi-device: pad so every shard splits evenly into scan blocks
+        # (ITEM_ALIGN is a multiple of ORDERED_BLOCK, SIM_BLOCK and the
+        # pallas BLOCK_ITEMS) — the shard_map paths then never reshard
+        n_dev = len(jax.devices())
+        align = ITEM_ALIGN * (n_dev if n_dev > 1 else 1)
+        self.n_items_pad = _round_up(n_items + 1, align)
         self.M: Optional[jax.Array] = None
+        self._dev = None  # committed count device (None = default placement)
+        self._ones = None  # cached device-resident all-ones weights
 
     def build(self, items: np.ndarray, groups: np.ndarray, dedup: bool = True):
         """items/groups: occurrence pairs (any order). Excluded items must be
         filtered by the caller."""
         if dedup:
             items, groups = dedup_pairs(items, groups, self.n_groups)
-        self.M = membership_from_pairs(
-            self.n_words, self.n_items_pad, items, groups
-        )
+        self._dev = count_device(self.n_words * self.n_items_pad * 4)
+        if self._dev is not None:
+            with jax.default_device(self._dev):
+                M = membership_from_pairs(
+                    self.n_words, self.n_items_pad, items, groups
+                )
+            self.M = jax.device_put(M, self._dev)
+        else:
+            self.M = membership_from_pairs(
+                self.n_words, self.n_items_pad, items, groups
+            )
         return self
 
     def build_from_host_matrix(self, M_host: np.ndarray):
         """Adopt a host-assembled packed membership matrix (one upload).
 
         With multiple devices visible, M is placed sharded over its item
-        axis (NamedSharding); every downstream op is elementwise or an
-        item-reduction, so GSPMD partitions them automatically and merges
-        the tiny outputs with all-reduces over ICI."""
+        axis (NamedSharding) and every op runs shard-local under shard_map
+        (see the sharded dispatch section). On one device the counting
+        placement policy (count_device) applies."""
         assert M_host.shape == (self.n_words, self.n_items_pad), (
             M_host.shape,
             (self.n_words, self.n_items_pad),
@@ -410,7 +605,11 @@ class CountingEngine:
                 M_host, NamedSharding(mesh, P(None, "items"))
             )
         else:
-            self.M = jnp.asarray(M_host)
+            self._dev = count_device(M_host.nbytes)
+            if self._dev is not None:
+                self.M = jax.device_put(M_host, self._dev)
+            else:
+                self.M = jnp.asarray(M_host)
         return self
 
     def coverage(self) -> np.ndarray:
@@ -418,46 +617,142 @@ class CountingEngine:
         cov = np.asarray(coverage_from_membership(self.M))
         return cov[: self.n_items + 1]
 
-    def hist(self, weights: np.ndarray) -> np.ndarray:
-        """Weighted coverage histogram of size n_groups + 1. weights must have
-        length n_items + 1 with weights[0] == 0. Single device dispatch —
-        popcount coverage and the reduction are fused (every dispatch is a
-        network round trip on tunneled TPU backends)."""
-        w = np.zeros(self.n_items_pad, dtype=np.int32)
-        w[: self.n_items + 1] = weights
+    def _m_device(self):
+        """M's single device, or None (sharded / unbuilt)."""
+        if self.M is None:
+            return None
+        devs = self.M.devices()
+        return next(iter(devs)) if len(devs) == 1 else None
+
+    def _w_np(self, w: "Optional[np.ndarray]") -> np.ndarray:
+        """Full-length host weight vector (None = the implicit all-ones)."""
+        if w is not None:
+            return w
+        wn = np.zeros(self.n_items_pad, dtype=np.int32)
+        wn[1 : self.n_items + 1] = 1
+        return wn
+
+    def _ones_w(self):
+        """Device-resident all-ones weights (sentinel + padding zeroed),
+        built ON the device — the hot path never uploads a ones vector."""
+        if self._ones is None:
+            dev = self._m_device()
+
+            def mk():
+                i = jax.lax.iota(jnp.int32, self.n_items_pad)
+                return ((i >= 1) & (i <= self.n_items)).astype(jnp.int32)
+
+            if dev is not None:
+                with jax.default_device(dev):
+                    self._ones = jax.jit(mk)()
+            else:
+                self._ones = jax.jit(mk)()
+        return self._ones
+
+    def _w_dev(self, w: "Optional[np.ndarray]"):
+        """Weights committed next to M (None = device-built ones)."""
+        if w is None:
+            return self._ones_w()
+        dev = self._m_device()
+        return jax.device_put(w, dev) if dev is not None else jnp.asarray(w)
+
+    def hist(self, weights: "Optional[np.ndarray]" = None) -> np.ndarray:
+        """Weighted coverage histogram of size n_groups + 1. weights must
+        have length n_items + 1 with weights[0] == 0, or None for the
+        unweighted (all-ones) histogram, which never leaves the device.
+        Single dispatch — popcount coverage and the reduction are fused
+        (every dispatch is a network round trip on tunneled backends)."""
+        if weights is None:
+            w = None
+        else:
+            w = np.zeros(self.n_items_pad, dtype=np.int32)
+            w[: self.n_items + 1] = weights
         n_bins = self.n_groups + 2
         h = self._hist_dispatch(w, n_bins)
         return np.asarray(h[: self.n_groups + 1]).astype(np.int64)
 
-    def _hist_dispatch(self, w: np.ndarray, n_bins: int):
+    def _pallas_hist_ok(self, n_bins: int) -> bool:
+        """The streaming pallas kernel applies when M sits whole on a real
+        TPU chip (a GSPMD-sharded M would gather) for bin counts the VMEM
+        one-hot can hold."""
         from . import pallas_kernels as pk
 
-        platform = jax.devices()[0].platform
+        dev = self._m_device()
+        return (
+            dev is not None
+            and dev.platform in ("tpu", "axon")
+            and not os.environ.get("PANACUS_TPU_NO_PALLAS")
+            and ((n_bins + 127) // 128) * 128 <= pk.MAX_BINS_PAD
+            and self.n_items_pad % pk.BLOCK_ITEMS == 0
+        )
+
+    def _hist_dispatch(self, w: "Optional[np.ndarray]", n_bins: int):
+        from . import pallas_kernels as pk
+
+        dev = self._m_device()
+        platform = (dev or jax.devices()[0]).platform
         on_tpu = platform in ("tpu", "axon")
+        w_max = 1 if w is None else int(w.max(initial=0))
+        total_w = (
+            int(self.n_items) if w is None else int(w.astype(np.int64).sum())
+        )
         try:
-            if on_tpu and os.environ.get("PANACUS_TPU_PALLAS_HIST"):
-                # measured on TPU v5e: XLA's fused popcount+one-hot beats the
-                # hand-written pallas kernel ~20x (31.9ms vs 625ms on a 50MB
-                # matrix) — the pallas path stays opt-in for experimentation
-                return pk.fused_hist_tpu(self.M, jnp.asarray(w), n_bins)
-            total_w = int(w.astype(np.int64).sum())
+            if self._pallas_hist_ok(n_bins) and w_max < (1 << 24):
+                # default TPU path: single streaming pass over M, one-hot
+                # matmul VMEM-resident (see pallas_kernels.fused_hist_tpu)
+                return pk.hist_pallas_host(self.M, [self._w_dev(w)], n_bins)[0]
+            mesh = item_mesh_of(self.M)
+            if mesh is not None and total_w < (1 << 31):
+                # multi-device: shard-local scatter hists, host int64 merge
+                return sharded_hist(self.M, self._w_np(w), n_bins, mesh)
             if on_tpu:
                 if total_w < (1 << 24):
-                    return pk.fused_hist_onehot(self.M, jnp.asarray(w), n_bins)
-                if int(w.max(initial=0)) < (1 << 24):
-                    return pk.hist_limbs_host(self.M, w, n_bins)
+                    return pk.fused_hist_onehot(self.M, self._w_dev(w), n_bins)
+                if w_max < (1 << 24):
+                    return pk.hist_limbs_host(self.M, self._w_np(w), n_bins)
             if total_w < (1 << 31):
                 # exact int32 scatter: the fast CPU path
-                return pk.fused_hist_scatter(self.M, jnp.asarray(w), n_bins)
+                return pk.fused_hist_scatter(self.M, self._w_dev(w), n_bins)
             # giant totals: device popcount + exact f64 host bincount
             cov = np.asarray(coverage_from_membership(self.M))
             return np.bincount(
-                cov, weights=w.astype(np.float64), minlength=n_bins
+                cov, weights=self._w_np(w).astype(np.float64), minlength=n_bins
             )[:n_bins]
         except Exception as e:  # pragma: no cover - lowering fallback
             log.debug("fused hist path failed (%s); using scatter", e)
             cov = coverage_from_membership(self.M)
-            return hist_from_coverage(cov, jnp.asarray(w), n_bins)
+            return hist_from_coverage(cov, self._w_dev(w), n_bins)
+
+    def hist_multi(self, weight_list) -> List[np.ndarray]:
+        """Several weighted histograms in ONE pass over M when the pallas
+        kernel applies (node + bp hists share the streaming pass); entries
+        may be None (= all-ones, never uploaded). Falls back to sequential
+        fused hists."""
+        from . import pallas_kernels as pk
+
+        n_bins = self.n_groups + 2
+        if (
+            len(weight_list) <= 2
+            and self._pallas_hist_ok(n_bins)
+            and all(
+                w is None or int(w.max(initial=0)) < (1 << 24)
+                for w in weight_list
+            )
+        ):
+            vecs = []
+            for w in weight_list:
+                if w is None:
+                    vecs.append(self._ones_w())
+                else:
+                    wp = np.zeros(self.n_items_pad, dtype=np.int32)
+                    wp[: self.n_items + 1] = w
+                    vecs.append(wp)
+            try:
+                hs = pk.hist_pallas_host(self.M, vecs, n_bins)
+                return [h[: self.n_groups + 1].astype(np.int64) for h in hs]
+            except Exception as e:  # pragma: no cover - lowering fallback
+                log.debug("pallas hist_multi failed (%s); sequential", e)
+        return [self.hist(w) for w in weight_list]
 
     def ordered_growth(
         self, weights: np.ndarray, quorum_rel: float, c_min: int

@@ -1,12 +1,31 @@
 """Pallas TPU kernels for the membership-matrix hot path.
 
 The coverage histogram is the bandwidth-critical op: it reads the whole
-packed matrix M (the largest array in the system). The fused kernel
-streams M through VMEM once per item block, popcounts the group words,
-and accumulates the weighted histogram on-chip via a one-hot MXU matmul —
-no [n_items] coverage vector ever round-trips HBM.
+packed matrix M (the largest array in the system). XLA's formulations pay
+for it dearly: the plain one-hot matmul materializes an [n_items, n_bins]
+operand to HBM (tens of GB of traffic at roofline scale — measured
+20 GB/s effective on a 1 GiB matrix), and scatter-adds serialize.
 
-Falls back to the XLA one-hot formulation off-TPU (pallas CPU lowering is
+`fused_hist_tpu` streams M through VMEM once: popcount coverage on the
+VPU, then the histogram as a *factorized* one-hot matmul that never
+leaves VMEM. The bin index is split as bin = 32*coarse + fine, so per
+item only (n_bins/32 + 32) one-hot lanes are materialized instead of
+n_bins — hist2d[c, f] = (w * onehot_coarse) @ onehot_fine^T — which
+keeps the VPU compare/select work ~20x below the naive one-hot at 1k
+bins. Measured on TPU v5e (1 GiB M, 1026 bins): 326 GB/s vs 82 GB/s
+for the XLA one-hot path and ~280-375 GB/s for an XLA popcount-reduce
+that computes NO histogram at all — i.e. at kernel speed the weighted
+histogram is free on top of the mandatory popcount pass. (Raw xor
+streaming tops out at ~495 GB/s on the same chip, so the pass is
+popcount-VPU-bound, not DMA-bound.)
+
+Weights arrive as int32 vectors (one per histogram, e.g. node + bp
+sharing one pass over M); the kernel splits each into three 8-bit limb
+rows and accumulates partials exactly in two int32 planes (low/high 16
+bits), recombined on the host. Keeping the limb split in-kernel keeps
+the host->device weight transfer at 4 bytes/item/histogram.
+
+Falls back to the XLA formulations off-TPU (pallas CPU lowering is
 interpret-only).
 """
 
@@ -17,50 +36,103 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BLOCK_ITEMS = 2048
+BLOCK_ITEMS = 16384  # items per grid step (== ops.engine.ITEM_ALIGN)
+MAX_BINS_PAD = 2304  # VMEM budget for the [n_coarse, BLOCK_ITEMS] planes
 
 
-def _fused_hist_kernel(m_ref, w_ref, out_ref):
-    """One grid step: M block [n_words, B] + weights [1, B] -> accumulate
-    the weighted one-hot histogram into out_ref [1, n_bins]."""
+FINE = 32  # fine-level one-hot width (bin = 32 * coarse + fine)
+
+
+def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
+    """One grid step: M block [n_words, B] uint32 + int32 weight vectors
+    [n_vecs, B] -> accumulate per-limb histograms into two int32 planes.
+
+    Layout: items ride the 128-lane (minor) dimension everywhere — the
+    one-hot planes are [FINE, B] and [n_coarse, B], so no tiny minor dim
+    gets padded up to a full lane tile (the [B, n_coarse] layout OOM'd
+    VMEM exactly that way). The accumulators are [n_rows * n_coarse,
+    FINE] (limb row l, coarse bin c at acc[l*n_coarse + c, f] =
+    hist_l[32c + f]); the host flattens each [n_coarse, FINE] plane
+    row-major, which is exactly bin order. Exactness: each matmul sums B
+    terms of <= 255 in f32 (B * 255 < 2^24, exact); the int32 lo/hi
+    split keeps plane accumulation exact to ~half a billion items.
+    """
     import jax.experimental.pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        acc_lo[:] = jnp.zeros_like(acc_lo)
+        acc_hi[:] = jnp.zeros_like(acc_hi)
 
-    M = m_ref[:]
-    cov = jnp.sum(jax.lax.population_count(M).astype(jnp.int32), axis=0)
-    n_bins = out_ref.shape[1]
-    onehot = (
-        cov.reshape(-1, 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (cov.shape[0], n_bins), 1)
-    ).astype(jnp.float32)
-    w = w_ref[0].astype(jnp.float32)
-    partial = jax.lax.dot_general(
-        w.reshape(1, -1),
-        onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[:] = out_ref[:] + partial
+    cov = jnp.sum(
+        jax.lax.population_count(m_ref[:]).astype(jnp.int32),
+        axis=0,
+        keepdims=True,
+    )  # [1, B]
+    n_vecs = w_ref.shape[0]
+    n_rows = 3 * n_vecs
+    n_coarse = acc_lo.shape[0] // n_rows
+    B = cov.shape[1]
+    onehot_f = (
+        (cov & (FINE - 1))
+        == jax.lax.broadcasted_iota(jnp.int32, (FINE, B), 0)
+    ).astype(jnp.bfloat16)  # [FINE, B]
+    coarse_eq = (cov >> 5) == jax.lax.broadcasted_iota(
+        jnp.int32, (n_coarse, B), 0
+    )  # [n_coarse, B] bool
+    for v in range(n_vecs):
+        wv = w_ref[v : v + 1, :]  # [1, B] int32
+        for j in range(3):
+            # 8-bit limb (<= 255: bf16-exact), spread over coarse rows
+            wl = (wv >> (8 * j)) & 0xFF
+            wc = jnp.where(coarse_eq, wl, 0).astype(
+                jnp.bfloat16
+            )  # [n_coarse, B]
+            p = jax.lax.dot_general(
+                wc,
+                onehot_f,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # [n_coarse, FINE]
+            l = j * n_vecs + v
+            acc_lo[l * n_coarse : (l + 1) * n_coarse] += p & 0xFFFF
+            acc_hi[l * n_coarse : (l + 1) * n_coarse] += p >> 16
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _out():
+        nr = n_rows * n_coarse
+        out_ref[0:nr] = acc_lo[:]
+        out_ref[nr : 2 * nr] = acc_hi[:]
 
 
-def fused_hist_tpu(M: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array:
-    """Weighted coverage histogram via a single streaming pallas pass.
+@functools.partial(jax.jit, static_argnums=(2,))
+def fused_hist_tpu(
+    M: jax.Array, w_vecs: jax.Array, n_bins: int
+) -> jax.Array:
+    """Multi-histogram streaming pallas pass (jitted; retrace only per
+    (shape, n_bins)).
 
     M: uint32 [n_words, n_items_pad] (n_items_pad % BLOCK_ITEMS == 0)
-    weights: int32/float32 [n_items_pad]
-    returns float32 [n_bins_pad] (n_bins padded to a lane multiple).
+    w_vecs: int32 [n_vecs, n_items_pad], weights in [0, 2^24)
+    returns int32 [2 * 3 * n_vecs * n_coarse, FINE]: the first
+    3*n_vecs*n_coarse rows are the low 16 bits of each limb histogram
+    (limb j of vector v occupies rows (j*n_vecs+v)*n_coarse onward, one
+    row per coarse bin), the rest the high bits; the host flattens
+    [n_coarse, FINE] row-major into bin order and recombines.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_words, n_items_pad = M.shape
+    n_vecs = w_vecs.shape[0]
     assert n_items_pad % BLOCK_ITEMS == 0
+    assert w_vecs.shape == (n_vecs, n_items_pad)
     n_bins_pad = ((n_bins + 127) // 128) * 128
+    assert n_bins_pad <= MAX_BINS_PAD
+    n_rows = 3 * n_vecs
+    n_coarse = n_bins_pad // FINE
     grid = (n_items_pad // BLOCK_ITEMS,)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _fused_hist_kernel,
         grid=grid,
         in_specs=[
@@ -70,15 +142,62 @@ def fused_hist_tpu(M: jax.Array, weights: jax.Array, n_bins: int) -> jax.Array:
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BLOCK_ITEMS), lambda i: (0, i), memory_space=pltpu.VMEM
+                (n_vecs, BLOCK_ITEMS),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_bins_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (2 * n_rows * n_coarse, FINE),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((1, n_bins_pad), jnp.float32),
-    )(M, weights.reshape(1, -1))
-    return out[0]
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * n_rows * n_coarse, FINE), jnp.int32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows * n_coarse, FINE), jnp.int32),
+            pltpu.VMEM((n_rows * n_coarse, FINE), jnp.int32),
+        ],
+    )(M, w_vecs.astype(jnp.int32))
+
+
+def hist_pallas_host(M, weight_vectors, n_bins: int):
+    """Driver for fused_hist_tpu: stack the int weight vectors (< 2^24,
+    caller-guaranteed; each a host array padded to n_items or a device
+    array already next to M, e.g. the engine's device-built ones), run the
+    streaming kernel once for all of them, recombine the limb planes
+    exactly in int64 on the host. Returns a list of int64 [n_bins]
+    histograms, one per input vector."""
+    import numpy as np
+
+    n_vecs = len(weight_vectors)
+    n_items = M.shape[1]
+    dev = next(iter(M.devices()))
+    vecs = []
+    for wv in weight_vectors:
+        if isinstance(wv, jax.Array):
+            vecs.append(wv.astype(jnp.int32))
+            continue
+        wi = np.zeros(n_items, dtype=np.int32)
+        wi[: len(wv)] = wv
+        vecs.append(jax.device_put(wi, dev))
+    w = jnp.stack(vecs) if n_vecs > 1 else vecs[0].reshape(1, -1)
+    out = np.asarray(fused_hist_tpu(M, w, n_bins)).astype(np.int64)
+    n_rows = 3 * n_vecs
+    nr = out.shape[0] // 2
+    # [n_rows*n_coarse, FINE] -> [n_rows, n_bins_pad] (row-major flatten
+    # of the [n_coarse, FINE] planes IS bin order: bin = 32*coarse + fine)
+    lo = out[0:nr].reshape(n_rows, -1)
+    hi = out[nr : 2 * nr].reshape(n_rows, -1)
+    hists = []
+    for v in range(n_vecs):
+        h = np.zeros(lo.shape[1], dtype=np.int64)
+        for j in range(3):
+            r = j * n_vecs + v
+            h += (lo[r] + (hi[r] << 16)) << (8 * j)
+        hists.append(h[:n_bins])
+    return hists
 
 
 # -- fused single-dispatch histograms -----------------------------------------

@@ -158,3 +158,77 @@ def device_summary() -> str:
 
     devs = jax.devices()
     return f"{len(devs)}x {devs[0].device_kind}" if devs else "no devices"
+
+
+# HBM peak bandwidth per chip, bytes/s (public TPU specs; used for the
+# roofline fraction in bench.py)
+_HBM_PEAK_GBPS = {
+    "TPU v4": 1228,
+    "TPU v5 lite": 819,  # v5e
+    "TPU v5e": 819,
+    "TPU v5": 2765,  # v5p
+    "TPU v5p": 2765,
+    "TPU v6 lite": 1640,  # v6e / Trillium
+    "TPU v6e": 1640,
+}
+
+
+def hbm_peak_bytes_per_s(device) -> "float | None":
+    kind = getattr(device, "device_kind", "")
+    # longest-prefix match so "TPU v5 lite" doesn't hit "TPU v5"
+    best = None
+    for name, gbps in _HBM_PEAK_GBPS.items():
+        if kind.startswith(name) and (best is None or len(name) > best[0]):
+            best = (len(name), gbps)
+    return best[1] * 1e9 if best else None
+
+
+_LINK_PROFILE: "tuple | None" = None
+
+
+def device_link_profile() -> "tuple[float, float]":
+    """(bandwidth bytes/s, round-trip seconds) of the host<->accelerator
+    link, measured once per process with a 1 MiB put+fetch.
+
+    On direct-attached TPUs this is PCIe (>= 10 GB/s, sub-ms RTT) and the
+    probe costs ~2 ms. On tunneled backends (axon pools) the link can be
+    1000x slower — the counting-placement policy (ops.engine.count_device)
+    uses this to decide whether shipping the membership matrix to the
+    accelerator is worth it. Overrides: PANACUS_TPU_LINK_MBPS (skip the
+    probe, use the given MB/s and a 1 ms RTT)."""
+    global _LINK_PROFILE
+    if _LINK_PROFILE is not None:
+        return _LINK_PROFILE
+    override = os.environ.get("PANACUS_TPU_LINK_MBPS")
+    if override:
+        _LINK_PROFILE = (float(override) * 1e6, 1e-3)
+        return _LINK_PROFILE
+    import time
+
+    import jax
+    import numpy as np
+
+    dev = jax.devices()[0]
+    tiny = np.zeros(8, dtype=np.int32)
+    blk = np.zeros(1 << 18, dtype=np.int32)  # 1 MiB
+    # warm the transfer paths (shape setup is one-time on tunneled backends)
+    np.asarray(jax.device_put(tiny, dev))
+    np.asarray(jax.device_put(blk, dev)[:8])
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(tiny, dev))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[1]
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(blk, dev)[:8])
+    t_blk = time.perf_counter() - t0
+    bw = blk.nbytes / max(t_blk - rtt, 1e-6)
+    _LINK_PROFILE = (bw, rtt)
+    log.info(
+        "device link: %.0f MB/s, RTT %.1f ms (%s)",
+        bw / 1e6,
+        rtt * 1e3,
+        dev.device_kind,
+    )
+    return _LINK_PROFILE
