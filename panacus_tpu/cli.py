@@ -509,7 +509,11 @@ def run_cli(argv: Optional[List[str]] = None) -> int:
     log.info("%s", tasks)
     if dry_run:
         # legible plan print, one task per line (the reference pretty-prints
-        # the task vector with {:#?}, src/lib.rs:213-217)
+        # the task vector with {:#?}, src/lib.rs:213-217; an empty Vec
+        # prints as "[]" on one line)
+        if not tasks:
+            print("[]")
+            return 0
         print("[")
         for t in tasks:
             print(f"    {t!r},")

@@ -121,7 +121,11 @@ def _read_gz_streamed(gfa_file: str) -> bytearray:
             isize = int.from_bytes(raw.read(4), "little")
     except OSError:
         pass
-    cap = max(isize, 2 * csize, 1 << 20)
+    # clamp the footer hint: a corrupt/truncated .gz can carry an arbitrary
+    # 32-bit ISIZE, which would force a multi-GiB zero-filled allocation
+    # before gzip.open ever validates the stream; the 1.5x growth loop
+    # handles underestimates
+    cap = max(min(isize, 64 * csize), 2 * csize, 1 << 20)
     buf = bytearray(cap)
     pos = 0
     with gzip.open(gfa_file, "rb") as f:

@@ -684,6 +684,10 @@ class CountingEngine:
             and not os.environ.get("PANACUS_TPU_NO_PALLAS")
             and ((n_bins + 127) // 128) * 128 <= pk.MAX_BINS_PAD
             and self.n_items_pad % pk.BLOCK_ITEMS == 0
+            # the kernel's int32 low plane is exact only while per-plane
+            # partial sums stay < 2^31: each grid step contributes at most
+            # BLOCK_ITEMS * 255 < 2^22 per bin, so cap the step count
+            and self.n_items_pad // pk.BLOCK_ITEMS <= (1 << 15)
         )
 
     def _hist_dispatch(self, w: "Optional[np.ndarray]", n_bins: int):

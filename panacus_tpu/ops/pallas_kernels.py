@@ -105,9 +105,9 @@ def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
         out_ref[nr : 2 * nr] = acc_hi[:]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def fused_hist_tpu(
-    M: jax.Array, w_vecs: jax.Array, n_bins: int
+    M: jax.Array, w_vecs: jax.Array, n_bins: int, interpret: bool = False
 ) -> jax.Array:
     """Multi-histogram streaming pallas pass (jitted; retrace only per
     (shape, n_bins)).
@@ -119,6 +119,10 @@ def fused_hist_tpu(
     (limb j of vector v occupies rows (j*n_vecs+v)*n_coarse onward, one
     row per coarse bin), the rest the high bits; the host flattens
     [n_coarse, FINE] row-major into bin order and recombines.
+
+    interpret=True runs the kernel through the pallas interpreter (works
+    on CPU) — the CI parity tests exercise the exact limb/plane logic
+    without TPU hardware (tests/test_pallas_hist.py).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -159,10 +163,11 @@ def fused_hist_tpu(
             pltpu.VMEM((n_rows * n_coarse, FINE), jnp.int32),
             pltpu.VMEM((n_rows * n_coarse, FINE), jnp.int32),
         ],
+        interpret=interpret,
     )(M, w_vecs.astype(jnp.int32))
 
 
-def hist_pallas_host(M, weight_vectors, n_bins: int):
+def hist_pallas_host(M, weight_vectors, n_bins: int, interpret: bool = False):
     """Driver for fused_hist_tpu: stack the int weight vectors (< 2^24,
     caller-guaranteed; each a host array padded to n_items or a device
     array already next to M, e.g. the engine's device-built ones), run the
@@ -183,7 +188,7 @@ def hist_pallas_host(M, weight_vectors, n_bins: int):
         wi[: len(wv)] = wv
         vecs.append(jax.device_put(wi, dev))
     w = jnp.stack(vecs) if n_vecs > 1 else vecs[0].reshape(1, -1)
-    out = np.asarray(fused_hist_tpu(M, w, n_bins)).astype(np.int64)
+    out = np.asarray(fused_hist_tpu(M, w, n_bins, interpret)).astype(np.int64)
     n_rows = 3 * n_vecs
     nr = out.shape[0] // 2
     # [n_rows*n_coarse, FINE] -> [n_rows, n_bins_pad] (row-major flatten

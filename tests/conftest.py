@@ -2,19 +2,21 @@ import os
 import sys
 
 # Tests run on CPU with a virtual 8-device mesh so sharding paths are
-# exercised without TPU hardware.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# exercised without TPU hardware. PANACUS_TEST_TPU=1 skips the pin so
+# the @pytest.mark.tpu hardware tests can run (pytest -m tpu).
+if not os.environ.get("PANACUS_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax  # noqa: E402
+    import jax
 
-# A TPU-tunnel plugin (e.g. axon) may have force-set jax_platforms at
-# interpreter startup, which overrides the env var — pin it back to CPU.
-jax.config.update("jax_platforms", "cpu")
+    # A TPU-tunnel plugin (e.g. axon) may have force-set jax_platforms at
+    # interpreter startup, which overrides the env var — pin it back to CPU.
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
