@@ -6,9 +6,12 @@ reference's incremental accumulation (reference: src/graph_broker/hist.rs:
 per-m recurrences are preserved exactly, so results agree with the
 reference to <= 1e-10 (and bit-identically after the writer's floor()).
 
-For very large group counts a bf16/f32 device matmul path exists in
-ops/growth_device.py; the host f64 path is the parity-bearing default
-(growth tables are O(n_groups^2) — microseconds next to counting).
+The recurrence-exact host path is the parity-bearing default (growth
+tables are O(n_groups^2) — microseconds next to counting at typical
+group counts). Above ops.growth_device.GROWTH_MATMUL_MIN_N groups,
+union/core growths auto-route through the closed-form weight-matrix
+product (same math, fully vectorized; ~1e-9 relative agreement, which
+the writer's floor() absorbs).
 """
 
 from __future__ import annotations
@@ -22,6 +25,12 @@ import numpy as np
 from .utils import CountType, Threshold, ThresholdContainer
 
 log = logging.getLogger("panacus")
+
+
+def _matmul_threshold() -> int:
+    from .ops.growth_device import matmul_threshold
+
+    return matmul_threshold() or (1 << 62)
 
 
 def choose_log2(n: int, k: int) -> float:
@@ -69,6 +78,20 @@ class Hist:
         n = len(self.coverage) - 1
         if n <= 0:
             return []
+        if n >= _matmul_threshold():
+            # large group counts: closed-form weight-matrix product
+            # (ops/growth_device.py) instead of the per-m Python
+            # recurrence loop; returns None for general quorums, which
+            # keep the memoized recurrence below
+            from .ops.growth_device import growth_matmul
+
+            g = growth_matmul(
+                np.asarray(self.coverage, dtype=np.float64),
+                t_coverage,
+                t_quorum,
+            )
+            if g is not None:
+                return g.tolist()
         quorum = max(1, t_quorum.to_absolute(n))
         if quorum == 1:
             return self.calc_growth_union(t_coverage)

@@ -16,7 +16,8 @@ Everything downstream is dense array math:
 
 The item axis is the sharding axis: every op here is either elementwise
 over items or a reduction over items, so multi-chip execution shards
-M's columns and psum-merges the tiny outputs (see parallel/mesh.py).
+M's columns under shard_map (the sharded dispatch section below) and
+merges the tiny per-shard partials on the host.
 """
 
 from __future__ import annotations

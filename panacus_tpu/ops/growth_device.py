@@ -96,3 +96,71 @@ def growth_weight_stack(
     return np.stack(
         [growth_weight_matrix(n, c, q) for c, q in zip(coverages, quorums)]
     )
+
+
+# production auto-select: hist.Hist.calc_growth routes union/core growths
+# through the weight-matrix product above this group count (the per-m
+# recurrences are a Python loop over m — O(n) interpreter steps — while
+# the weight rows are closed-form and vectorize over the whole (m, i)
+# grid). Tunable: PANACUS_GROWTH_MATMUL_N; 0 disables.
+GROWTH_MATMUL_MIN_N = 2048
+_CHUNK_ROWS = 1 << 20  # elements per W chunk (bounds peak memory ~16 MB)
+
+
+def matmul_threshold() -> int:
+    import os
+
+    v = os.environ.get("PANACUS_GROWTH_MATMUL_N")
+    return int(v) if v else GROWTH_MATMUL_MIN_N
+
+
+def growth_matmul(
+    hist: np.ndarray, t_coverage: Threshold, t_quorum: Threshold
+) -> "np.ndarray | None":
+    """growth[m] for m in 1..n via chunked rows of the f64 weight matrix —
+    the production large-n path (union/core only; the general-quorum W
+    build is O(n^3), where the memoized recurrence stays cheaper).
+    Returns None when the pair is a general quorum. Agrees with the
+    recurrence-exact path to ~1e-9 relative (tests/test_growth_device.py);
+    the TSV writer floors cells, absorbing the ulps."""
+    n = len(hist) - 1
+    if n <= 0:
+        return np.zeros(0)
+    quorum_abs = max(1, t_quorum.to_absolute(n))
+    if 1 < quorum_abs < n:
+        return None
+    h = np.asarray(hist, dtype=np.float64)
+    out = np.empty(n, dtype=np.float64)
+    rows = max(1, _CHUNK_ROWS // (n + 1))
+    # 1D log-factorial table: lgC(a, b) = t[a] - t[b] - t[a-b] becomes
+    # three table lookups per grid cell (one gammaln call per integer,
+    # not per cell — the grid is O(n^2) cells)
+    t = gammaln(np.arange(n + 1, dtype=np.float64) + 1.0)
+
+    def lgC(a, b):
+        """log C(a, b) for integer index arrays, -inf outside 0<=b<=a."""
+        ok = (b >= 0) & (b <= a)
+        a_c = np.where(ok, a, 0)
+        b_c = np.where(ok, b, 0)
+        return np.where(ok, t[a_c] - t[b_c] - t[a_c - b_c], -np.inf)
+
+    ii = np.arange(0, n + 1, dtype=np.int64).reshape(1, -1)
+    for m0 in range(1, n + 1, rows):
+        m1 = min(m0 + rows, n + 1)
+        mm = np.arange(m0, m1, dtype=np.int64).reshape(-1, 1)
+        lg_nm = lgC(np.full_like(mm, n), mm)
+        with np.errstate(invalid="ignore"):
+            if quorum_abs == 1:  # union
+                c = max(1, t_coverage.to_absolute(n))
+                p_absent = np.exp(lgC(n - ii, mm) - lg_nm)
+                W = (
+                    1.0 - np.nan_to_num(p_absent, nan=0.0, posinf=0.0)
+                ) * (ii >= c)
+            else:  # core (reference's to_absolute(n+1) quirk, hist.rs:118)
+                c = max(1, t_coverage.to_absolute(n + 1))
+                p_all = np.exp(lgC(ii, mm) - lg_nm)
+                W = np.nan_to_num(p_all, nan=0.0, posinf=0.0) * (
+                    ii >= np.maximum(mm, c)
+                )
+        out[m0 - 1 : m1 - 1] = W @ h
+    return out
