@@ -25,6 +25,15 @@ from .utils import CountType
 log = logging.getLogger("panacus")
 
 
+def _process_count() -> int:
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:  # pragma: no cover - backend init failure
+        return 1
+
+
 class Req:
     """Input requirement atoms (reference: src/analyses.rs:31-40)."""
 
@@ -202,9 +211,25 @@ class GraphBroker:
         from .stream import streamed_total_abaci
 
         with phase_timer("abaci_by_total"):
-            streamed = streamed_total_abaci(
-                self.graph_aux, self.mask, count_types
-            )
+            streamed = None
+            if _process_count() > 1:
+                # multi-host: this process tokenizes only its word block;
+                # M assembles sharded over the global mesh. Falls back to
+                # redundant full itemization per host (still globally
+                # sharded) for masked runs / group-table requirements.
+                from .parallel.ingest import multihost_total_abaci
+
+                need_itemized = any(
+                    isinstance(r, tuple) and r[0] == "abacus_by_group"
+                    for r in self.input_requirements
+                )
+                streamed = multihost_total_abaci(
+                    self.graph_aux, self.mask, count_types, need_itemized
+                )
+            if streamed is None:
+                streamed = streamed_total_abaci(
+                    self.graph_aux, self.mask, count_types
+                )
             if streamed is not None:
                 abaci, itemized, path_order, groups = streamed
             else:

@@ -444,6 +444,20 @@ def run_cli(argv: Optional[List[str]] = None) -> int:
     set_num_threads(args.threads)
     out = sys.stdout
 
+    # multi-host: join the JAX distributed runtime when coordinator env vars
+    # are present (must run before the first backend touch). Non-zero
+    # processes participate in every collective but only process 0 emits the
+    # run's output.
+    from .parallel.ingest import init_distributed
+
+    if init_distributed():
+        import io
+
+        import jax
+
+        if jax.process_index() != 0:
+            out = io.StringIO()
+
     from .pipeline import convert_to_tasks, execute_pipeline
 
     if args.command == "render":

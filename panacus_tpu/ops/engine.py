@@ -254,14 +254,18 @@ def ordered_growth(
     w[: len(weights)] = weights
     mesh = item_mesh_of(M)
     if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
         per = n_items_pad // mesh.devices.size
         fn = _sharded_ordered_fn(mesh, c_min, max(per // ORDERED_BLOCK, 1))
-        partials = fn(M, jnp.asarray(w), jnp.asarray(thr))
-    else:
-        n_blocks = max(n_items_pad // ORDERED_BLOCK, 1)
-        partials = _ordered_growth_all(
-            M, _put_like(w, M), _put_like(thr, M), c_min, n_blocks
+        partials = fn(
+            M, _put_spec(mesh, w, P("items")), _put_spec(mesh, thr, P())
         )
+        return fetch_parts(partials).astype(np.int64).sum(axis=0)
+    n_blocks = max(n_items_pad // ORDERED_BLOCK, 1)
+    partials = _ordered_growth_all(
+        M, _put_like(w, M), _put_like(thr, M), c_min, n_blocks
+    )
     return np.asarray(partials).astype(np.int64).sum(axis=0)
 
 
@@ -327,13 +331,16 @@ def similarity_intersections(
     w_hi = (w >> 16).astype(np.int32)
     mesh = item_mesh_of(M)
     if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
         per = n_items_pad // mesh.devices.size
         sim_fn = _sharded_sim_fn(mesh, max(per // SIM_BLOCK, 1))
 
         def run(wv):
-            lo, hi = sim_fn(M, jnp.asarray(wv))  # [n_dev, G, G] planes
-            return np.asarray(lo).astype(np.int64).sum(axis=0) + (
-                np.asarray(hi).astype(np.int64).sum(axis=0) << 16
+            # [n_dev, G, G] planes
+            lo, hi = sim_fn(M, _put_spec(mesh, np.asarray(wv), P("items")))
+            return fetch_parts(lo).astype(np.int64).sum(axis=0) + (
+                fetch_parts(hi).astype(np.int64).sum(axis=0) << 16
             )
 
     else:
@@ -361,6 +368,27 @@ def similarity_intersections(
 # and summed exactly on the host in int64: the hot loop needs ZERO
 # cross-device collectives (tests/test_sharded_dispatch.py asserts the
 # compiled HLO is collective-free).
+
+
+def fetch_parts(x) -> np.ndarray:
+    """Host copy of a (possibly cross-process sharded) device array. On a
+    single host this is a plain transfer; under a multi-host mesh the
+    per-shard partials live on non-addressable devices, so they are
+    allgathered first (tiny arrays — O(n_bins) / O(n_groups^2), never M)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def _put_spec(mesh, x: np.ndarray, spec) -> jax.Array:
+    """Commit a host array with an explicit PartitionSpec on the item mesh
+    (required under multi-host: an uncommitted local array cannot feed a
+    global-mesh program)."""
+    from jax.sharding import NamedSharding
+
+    return jax.device_put(x, NamedSharding(mesh, spec))
 
 
 def item_mesh_of(M) -> Optional[object]:
@@ -409,8 +437,12 @@ def _sharded_hist_fn(mesh, n_bins: int):
 def sharded_hist(M, w: np.ndarray, n_bins: int, mesh) -> np.ndarray:
     """[n_bins] int64 weighted coverage histogram; exact while the global
     total weight < 2^31 (per-shard totals are <= the global one)."""
-    parts = _sharded_hist_fn(mesh, n_bins)(M, jnp.asarray(w))
-    return np.asarray(parts).astype(np.int64).sum(axis=0)
+    from jax.sharding import PartitionSpec as P
+
+    parts = _sharded_hist_fn(mesh, n_bins)(
+        M, _put_spec(mesh, np.asarray(w), P("items"))
+    )
+    return fetch_parts(parts).astype(np.int64).sum(axis=0)
 
 
 @functools.cache
@@ -615,7 +647,7 @@ class CountingEngine:
 
     def coverage(self) -> np.ndarray:
         """Per-item distinct-group count, length n_items + 1 (slot 0 sentinel)."""
-        cov = np.asarray(coverage_from_membership(self.M))
+        cov = fetch_parts(coverage_from_membership(self.M))
         return cov[: self.n_items + 1]
 
     def _m_device(self):
@@ -719,7 +751,7 @@ class CountingEngine:
                 # exact int32 scatter: the fast CPU path
                 return pk.fused_hist_scatter(self.M, self._w_dev(w), n_bins)
             # giant totals: device popcount + exact f64 host bincount
-            cov = np.asarray(coverage_from_membership(self.M))
+            cov = fetch_parts(coverage_from_membership(self.M))
             return np.bincount(
                 cov, weights=self._w_np(w).astype(np.float64), minlength=n_bins
             )[:n_bins]

@@ -118,3 +118,203 @@ def merge_partials(partials: List[np.ndarray]) -> np.ndarray:
     for p in partials[1:]:
         np.bitwise_or(out, p, out=out)
     return out
+
+
+# -- production multi-host build ----------------------------------------------
+#
+# Partition unit: the 32-group WORD (the streamed builder's slab). Process p
+# owns the contiguous word block [p*wpp, (p+1)*wpp), tokenizes only those
+# words' paths, and packs its rows of M locally. Because every word row is
+# built by exactly one process, the global assembly needs no OR at all: the
+# per-process row blocks concatenate into M (one resharding collective from
+# row-blocked to item-sharded — the only cross-host traffic, O(|M| / hosts)
+# per host). The engine's shard_map dispatch then runs SPMD over the global
+# mesh, and the tiny per-shard outputs are allgathered (engine.fetch_parts).
+#
+# The reference has no multi-process substrate at all (rayon threads only,
+# /root/reference/src/lib.rs:55-67); this is the SURVEY §5.8 design.
+
+
+def word_slice(n_words: int, n_proc: int, pid: int) -> range:
+    """Contiguous word block owned by process pid (padded: wpp words per
+    process, the last block may be short)."""
+    wpp = (n_words + n_proc - 1) // n_proc
+    return range(pid * wpp, min((pid + 1) * wpp, n_words))
+
+
+def assemble_global_matrix(
+    rows: np.ndarray, n_words: int, n_items_pad: int
+) -> "object":
+    """Per-process word-row block [wpp, n_items_pad] -> global M
+    [n_words, n_items_pad] sharded over items across ALL devices.
+
+    Stage 1: a global array with rows blocked by process and columns split
+    over each process's local devices (make_array_from_single_device_arrays
+    — no transfer, every shard is process-local). Stage 2: one jitted
+    reshard to the engine's item sharding (XLA inserts the all-to-all)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n_proc = jax.process_count()
+    local = jax.local_devices()
+    n_local = len(local)
+    wpp = (n_words + n_proc - 1) // n_proc
+    assert rows.shape == (wpp, n_items_pad), (rows.shape, wpp, n_items_pad)
+    assert n_items_pad % n_local == 0
+    cols = n_items_pad // n_local
+    mesh_rows = Mesh(
+        np.array(jax.devices()).reshape(n_proc, n_local), ("w", "i")
+    )
+    shards = [
+        jax.device_put(rows[:, k * cols : (k + 1) * cols], d)
+        for k, d in enumerate(local)
+    ]
+    G = jax.make_array_from_single_device_arrays(
+        (wpp * n_proc, n_items_pad),
+        NamedSharding(mesh_rows, P("w", "i")),
+        shards,
+    )
+    items_mesh = Mesh(np.array(jax.devices()), ("items",))
+    to_items = jax.jit(
+        lambda x: x[:n_words],
+        out_shardings=NamedSharding(items_mesh, P(None, "items")),
+    )
+    return to_items(G)
+
+
+def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
+    """Multi-host form of stream.streamed_total_abaci: this process
+    tokenizes only its word block's paths; M assembles globally.
+
+    Returns None (caller falls back to the classic redundant-compute path,
+    where every host itemizes the full graph and the engine still shards M
+    over the global mesh) when: subset/exclude masks are present, the
+    native tokenizer is unavailable, there are no paths, or the caller
+    needs the full host-side itemization (need_itemized: AbacusByGroup
+    table export reads per-path item runs, which a path-sliced build
+    cannot provide)."""
+    import jax
+
+    from ..abacus import AbacusByTotal, path_order_groups
+    from ..gfa import SlabbedItemTable
+    from ..itemize import ItemizeResult
+    from ..ops.engine import CountingEngine
+    from ..stream import _pack_row, _plan_slabs, _slab_edges
+    from ..utils import CountType
+    from jax.experimental import multihost_utils
+
+    if need_itemized:
+        return None
+    if mask.include_coords is not None or mask.exclude_coords is not None:
+        return None
+    if getattr(graph, "_int_name_mode", None) is None:
+        return None
+    n_paths = len(graph.path_segments)
+    if n_paths == 0:
+        return None
+
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    path_order, groups = path_order_groups(mask, graph.path_segments)
+    n_groups = len(groups)
+    slabs = _plan_slabs(path_order, n_paths)
+    need_edge = CountType.EDGE in count_types
+    need_node = any(ct != CountType.EDGE for ct in count_types)
+
+    node_engine = (
+        CountingEngine(graph.number_of_items(CountType.NODE), n_groups)
+        if need_node
+        else None
+    )
+    edge_engine = (
+        CountingEngine(graph.number_of_items(CountType.EDGE), n_groups)
+        if need_edge
+        else None
+    )
+    any_engine = node_engine or edge_engine
+    n_words = any_engine.n_words
+    wpp = (n_words + n_proc - 1) // n_proc
+    mine = word_slice(n_words, n_proc, pid)
+    # the ungrouped trailing slab (word -1) only feeds paths_len; process 0
+    # walks it so the merged paths_len matches the single-host builder
+    my_slabs = [
+        s
+        for s in slabs
+        if (s.word in mine) or (s.word < 0 and pid == 0)
+    ]
+    log.info(
+        "multi-host build: process %d/%d owns words %s (%d/%d slabs)",
+        pid,
+        n_proc,
+        list(mine),
+        len(my_slabs),
+        len(slabs),
+    )
+
+    R_node = (
+        np.zeros((wpp, node_engine.n_items_pad), dtype=np.uint32)
+        if need_node
+        else None
+    )
+    R_edge = (
+        np.zeros((wpp, edge_engine.n_items_pad), dtype=np.uint32)
+        if need_edge
+        else None
+    )
+    node_len = np.zeros(n_paths, dtype=np.int64)
+    bp_len = np.zeros(n_paths, dtype=np.int64)
+    have_len = np.zeros(n_paths, dtype=np.int64)
+    for slab in my_slabs:
+        batch = graph.all_path_item_runs(slab.path_ids)
+        if batch is None:
+            return None
+        ids, orient, prefsum, bp = batch
+        if need_node:
+            counts = np.diff(prefsum)
+            node_len[slab.path_ids] = counts
+            bp_len[slab.path_ids] = bp
+            have_len[slab.path_ids] = 1
+            if slab.word >= 0:
+                R_node[slab.word - mine.start] |= _pack_row(
+                    ids, prefsum, slab.gidx_rel, node_engine.n_items_pad
+                )
+        if need_edge and slab.word >= 0:
+            eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
+            R_edge[slab.word - mine.start] |= _pack_row(
+                eids, e_pref, slab.gidx_rel, edge_engine.n_items_pad
+            )
+
+    if need_node:
+        node_engine.M = assemble_global_matrix(
+            R_node, n_words, node_engine.n_items_pad
+        )
+    if need_edge:
+        edge_engine.M = assemble_global_matrix(
+            R_edge, n_words, edge_engine.n_items_pad
+        )
+
+    # paths_len merge: every process contributes its slabs' rows
+    gathered = multihost_utils.process_allgather(
+        np.stack([node_len, bp_len, have_len])
+    )
+    gathered = np.asarray(gathered).reshape(-1, 3, n_paths)
+    node_len = gathered[:, 0].sum(axis=0)
+    bp_len = gathered[:, 1].sum(axis=0)
+    have_len = gathered[:, 2].sum(axis=0)
+    paths_len = {
+        graph.path_segments[p]: (int(node_len[p]), int(bp_len[p]))
+        for p in range(n_paths)
+        if have_len[p]
+    }
+
+    itemized = ItemizeResult(
+        item_tables=[None] * len(count_types),
+        exclude_tables=[None] * len(count_types),
+        subset_covered_bps=None,
+        paths_len=paths_len,
+    )
+    abaci = {}
+    for ct in count_types:
+        engine = edge_engine if ct == CountType.EDGE else node_engine
+        abaci[ct] = AbacusByTotal(ct, engine, groups, {}, graph)
+    return abaci, itemized, path_order, groups

@@ -161,6 +161,13 @@ def streamed_total_abaci(
 
     if os.environ.get("PANACUS_TPU_NO_STREAM"):
         return None
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-host runs build through parallel.ingest.multihost_total_abaci
+        # (per-process word blocks); MembershipStream's row placement is
+        # single-host
+        return None
     if mask.include_coords is not None or mask.exclude_coords is not None:
         return None
     if getattr(graph, "_int_name_mode", None) is None:

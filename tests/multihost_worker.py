@@ -1,0 +1,58 @@
+"""Subprocess worker for tests/test_multihost.py: joins the JAX
+distributed runtime (coordinator env vars set by the launcher), runs the
+production GraphBroker on the shared fixture, and writes its process's
+results as JSON. Not a pytest module (no test_ prefix)."""
+
+import json
+import os
+import sys
+
+
+def main():
+    gfa = sys.argv[1]
+    out_path = sys.argv[2]
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from panacus_tpu.parallel.ingest import init_distributed
+
+    assert init_distributed(), "coordinator env vars missing"
+    assert jax.process_count() == int(os.environ["JAX_NUM_PROCESSES"])
+
+    from panacus_tpu.broker import GraphBroker, GraphState, Req
+    from panacus_tpu.config import Grouping
+    from panacus_tpu.utils import CountType
+
+    gb = GraphBroker()
+    reqs = {Req.graph(gfa), Req.NODE, Req.BP, Req.HIST, Req.PATH_LENS}
+    gb.change_graph_state(
+        GraphState(graph=gfa, name="mh", grouping=Grouping.sample()),
+        reqs,
+        nice=False,
+    )
+    hists = gb.get_hists()
+    from panacus_tpu.ops.engine import item_mesh_of
+
+    eng = gb.get_abacus_by_total(CountType.NODE).engine
+    mesh = item_mesh_of(eng.M)
+    res = {
+        "process": jax.process_index(),
+        "n_processes": jax.process_count(),
+        "n_devices": len(jax.devices()),
+        "m_sharded": mesh is not None and mesh.devices.size == len(jax.devices()),
+        "node_hist": [int(x) for x in hists[CountType.NODE].coverage],
+        "bp_hist": [int(x) for x in hists[CountType.BP].coverage],
+        "paths_len_total": sorted(
+            (str(k), v[0], v[1]) for k, v in gb.get_path_lens().items()
+        ),
+    }
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+    print("worker done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
