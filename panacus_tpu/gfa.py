@@ -368,6 +368,7 @@ class GraphStorage:
         self._edge_keys_sorted: Optional[np.ndarray] = None
         self._edge_ids_sorted: Optional[np.ndarray] = None
         self._edge_hash = None
+        self._edge_adj = None
         self.edges_u = self.edges_o1 = self.edges_v = self.edges_o2 = None
         self.degree: Optional[np.ndarray] = None
         if index_edges:
@@ -382,6 +383,22 @@ class GraphStorage:
                 self._edge_keys_sorted, self._edge_ids_sorted
             )
         return self._edge_hash
+
+    def edge_adj(self):
+        """Lazy native CSR adjacency over canonical source nodes (or None):
+        the cache-friendly lookup structure for the hot path itemizer (the
+        open hash costs a random DRAM miss per pair on large graphs)."""
+        if self._edge_adj is None and self.edges_u is not None:
+            from .native import build_edge_adj
+
+            self._edge_adj = build_edge_adj(
+                self.edges_u,
+                self.edges_o1,
+                self.edges_v,
+                self.edges_o2,
+                self.node_count,
+            )
+        return self._edge_adj
 
     # -- nodes ----------------------------------------------------------------
 

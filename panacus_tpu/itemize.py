@@ -127,16 +127,24 @@ def itemize_paths(
                 any_non_edge = True
                 table.adopt(b_ids, b_pref)
             elif len(b_ids):
-                from .native import lookup_edges
+                from .native import lookup_edges, lookup_edges_adj
                 from .runtime import effective_threads
 
-                res = lookup_edges(
+                res = lookup_edges_adj(
                     b_ids,
                     b_orient,
                     b_pref,
-                    graph.edge_hash(),
+                    graph.edge_adj(),
                     effective_threads(),
                 )
+                if res is None:
+                    res = lookup_edges(
+                        b_ids,
+                        b_orient,
+                        b_pref,
+                        graph.edge_hash(),
+                        effective_threads(),
+                    )
                 if res is not None:
                     table.adopt(*res)
                 else:

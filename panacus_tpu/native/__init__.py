@@ -138,6 +138,20 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         u64p, i64p, i64,  # keys, eids, n
         u64p, ctypes.c_int32,  # slots (interleaved), log2_slots
     ]
+    lib.pt_build_edge_adj.restype = None
+    lib.pt_build_edge_adj.argtypes = [
+        i64p, u8p, i64p, u8p, i64,  # edges_u, o1, v, o2, n_edges
+        i64,                        # n_items
+        i64p, u64p, i64p,           # row_off, adj_key, adj_eid
+    ]
+    lib.pt_lookup_edges_adj.restype = i64
+    lib.pt_lookup_edges_adj.argtypes = [
+        i64p, u8p,        # ids, orient
+        i64p, i64,        # prefsum, n_paths
+        i64p, u64p, i64p,  # row_off, adj_key, adj_eid
+        i64p, i64p,       # out_eids, out_pref
+        ctypes.c_int32,   # n_threads
+    ]
     lib.pt_index_edges.restype = i64
     lib.pt_index_edges.argtypes = [
         u8p,             # buf
@@ -695,6 +709,90 @@ def lookup_edges(
         ctypes.c_int64(n_paths),
         slots.ctypes.data_as(u64p),
         ctypes.c_int32(log2_slots),
+        out.ctypes.data_as(i64p),
+        e_pref.ctypes.data_as(i64p),
+        ctypes.c_int32(n_threads),
+    )
+    if rc < 0:
+        k = -rc - 1
+        raise ValueError(
+            f"unknown edge between segments {ids_c[k]} and {ids_c[k + 1]}"
+        )
+    return out, e_pref
+
+
+def build_edge_adj(
+    edges_u: np.ndarray,
+    edges_o1: np.ndarray,
+    edges_v: np.ndarray,
+    edges_o2: np.ndarray,
+    n_items: int,
+):
+    """CSR adjacency over the canonical source node: (row_off int64
+    [n_items+2], adj_key uint64[E], adj_eid int64[E]), rows sorted by
+    packed dest key. The cache-friendly replacement for the open hash on
+    large graphs (the probe stream of an ascending path becomes
+    near-sequential). Returns None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = len(edges_u)
+    row_off = np.zeros(n_items + 2, dtype=np.int64)
+    adj_key = np.empty(n, dtype=np.uint64)
+    adj_eid = np.empty(n, dtype=np.int64)
+    eu = np.ascontiguousarray(edges_u, dtype=np.int64)
+    e1 = np.ascontiguousarray(edges_o1, dtype=np.uint8)
+    ev = np.ascontiguousarray(edges_v, dtype=np.int64)
+    e2 = np.ascontiguousarray(edges_o2, dtype=np.uint8)
+    lib.pt_build_edge_adj(
+        eu.ctypes.data_as(i64p),
+        _as_u8p(e1),
+        ev.ctypes.data_as(i64p),
+        _as_u8p(e2),
+        ctypes.c_int64(n),
+        ctypes.c_int64(n_items),
+        row_off.ctypes.data_as(i64p),
+        adj_key.ctypes.data_as(u64p),
+        adj_eid.ctypes.data_as(i64p),
+    )
+    return row_off, adj_key, adj_eid
+
+
+def lookup_edges_adj(
+    ids: np.ndarray,
+    orient: np.ndarray,
+    prefsum: np.ndarray,
+    edge_adj,
+    n_threads: int = 0,
+):
+    """Canonical edge-id lookup via the CSR adjacency (build_edge_adj
+    triple); same contract as lookup_edges."""
+    lib = get_lib()
+    if lib is None or edge_adj is None:
+        return None
+    row_off, adj_key, adj_eid = edge_adj
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n_paths = len(prefsum) - 1
+    counts = np.diff(prefsum)
+    e_pref = np.zeros(n_paths + 1, dtype=np.int64)
+    np.cumsum(np.maximum(counts, 1) - 1, out=e_pref[1:])
+    out = np.empty(int(e_pref[-1]), dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    ids_c = np.ascontiguousarray(ids, dtype=np.int64)
+    or_c = np.ascontiguousarray(orient, dtype=np.uint8)
+    pf_c = np.ascontiguousarray(prefsum, dtype=np.int64)
+    rc = lib.pt_lookup_edges_adj(
+        ids_c.ctypes.data_as(i64p),
+        _as_u8p(or_c),
+        pf_c.ctypes.data_as(i64p),
+        ctypes.c_int64(n_paths),
+        row_off.ctypes.data_as(i64p),
+        adj_key.ctypes.data_as(u64p),
+        adj_eid.ctypes.data_as(i64p),
         out.ctypes.data_as(i64p),
         e_pref.ctypes.data_as(i64p),
         ctypes.c_int32(n_threads),

@@ -800,6 +800,159 @@ EXPORT int64_t pt_lookup_pairs(
     return 0;
 }
 
+/* ---- CSR adjacency edge lookup --------------------------------------------
+ *
+ * The open-addressing hash above costs ~one random DRAM cache-line miss
+ * per pair once the slot table outgrows the LLC (chr22-scale graphs:
+ * 10^6-10^7 edges => 10^2-10^3 MB tables). Real pangenome paths walk
+ * mostly-ascending node ids (pggb/smoothxg sort nodes along the genome),
+ * so an adjacency layout keyed by the canonical SOURCE node turns the
+ * probe stream into near-sequential reads: row offsets are indexed by an
+ * ascending u, and each row's (packed dest key, eid) entries sit on the
+ * same one or two cache lines as its neighbors'.
+ *
+ * Row entries are sorted by packed key (insertion sort at build; rows are
+ * small — mean canonical out-degree is E/N, typically < 10); lookups scan
+ * with sorted early-exit, switching to binary search for hub rows.
+ */
+
+/* Build: row_off must have n_items + 2 zeroed entries. Fills
+ * adj_key[n_edges] = (v << 2) | (o1 << 1) | o2 and adj_eid[n_edges]
+ * (first-occurrence ids, 1-based == index + 1 of the edges arrays). */
+EXPORT void pt_build_edge_adj(
+    const int64_t* eu, const uint8_t* eo1,
+    const int64_t* ev, const uint8_t* eo2,
+    int64_t n_edges, int64_t n_items,
+    int64_t* row_off, uint64_t* adj_key, int64_t* adj_eid)
+{
+    for (int64_t i = 0; i < n_edges; i++) row_off[eu[i] + 1]++;
+    for (int64_t u = 0; u <= n_items; u++) row_off[u + 1] += row_off[u];
+    /* place (unsorted), using row_off[u+1] as the fill cursor */
+    for (int64_t i = 0; i < n_edges; i++) {
+        int64_t pos = row_off[eu[i]]++;
+        adj_key[pos] =
+            ((uint64_t)ev[i] << 2) | ((uint64_t)eo1[i] << 1) | eo2[i];
+        adj_eid[pos] = i + 1;
+    }
+    /* row_off[u] now ends row u; restore starts by shifting down */
+    for (int64_t u = n_items; u > 0; u--) row_off[u] = row_off[u - 1];
+    row_off[0] = 0;
+    /* per-row insertion sort by key */
+    for (int64_t u = 1; u <= n_items; u++) {
+        int64_t a = row_off[u], b = row_off[u + 1];
+        for (int64_t i = a + 1; i < b; i++) {
+            uint64_t k = adj_key[i];
+            int64_t e = adj_eid[i], j = i - 1;
+            while (j >= a && adj_key[j] > k) {
+                adj_key[j + 1] = adj_key[j];
+                adj_eid[j + 1] = adj_eid[j];
+                j--;
+            }
+            adj_key[j + 1] = k;
+            adj_eid[j + 1] = e;
+        }
+    }
+}
+
+static inline int64_t edge_adj_get(
+    const int64_t* row_off, const uint64_t* adj_key, const int64_t* adj_eid,
+    int64_t u, uint64_t vkey)
+{
+    int64_t a = row_off[u], b = row_off[u + 1];
+    if (b - a <= 32) {
+        for (int64_t i = a; i < b; i++) {
+            if (adj_key[i] == vkey) return adj_eid[i];
+            if (adj_key[i] > vkey) return 0;
+        }
+        return 0;
+    }
+    while (a < b) {
+        int64_t mid = (a + b) >> 1;
+        if (adj_key[mid] < vkey) a = mid + 1;
+        else b = mid;
+    }
+    return (a < row_off[u + 1] && adj_key[a] == vkey) ? adj_eid[a] : 0;
+}
+
+typedef struct {
+    const int64_t* ids;
+    const uint8_t* orient;
+    const int64_t* prefsum;
+    int64_t n_paths;
+    const int64_t* row_off;
+    const uint64_t* adj_key;
+    const int64_t* adj_eid;
+    int64_t* out_eids;
+    const int64_t* out_pref;
+    int64_t err;
+    int64_t next;
+    pthread_mutex_t lock;
+} adj_ctx;
+
+static void* adj_worker(void* arg)
+{
+    adj_ctx* c = (adj_ctx*)arg;
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t p = (c->next < c->n_paths && !c->err) ? c->next++ : -1;
+        pthread_mutex_unlock(&c->lock);
+        if (p < 0) return NULL;
+        int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
+        int64_t* out = c->out_eids + c->out_pref[p];
+        for (int64_t k = a; k + 1 < b; k++) {
+            int64_t u = c->ids[k], v = c->ids[k + 1];
+            uint8_t o1 = c->orient[k], o2 = c->orient[k + 1];
+            uint64_t cu, cv, co1, co2;
+            if (u > v || (u == v && o1)) {
+                cu = (uint64_t)v; co1 = o2 ^ 1u;
+                cv = (uint64_t)u; co2 = o1 ^ 1u;
+            } else {
+                cu = (uint64_t)u; co1 = o1;
+                cv = (uint64_t)v; co2 = o2;
+            }
+            int64_t eid = edge_adj_get(
+                c->row_off, c->adj_key, c->adj_eid,
+                (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
+            if (!eid) {
+                pthread_mutex_lock(&c->lock);
+                if (!c->err) c->err = -(k + 1);
+                pthread_mutex_unlock(&c->lock);
+                return NULL;
+            }
+            *out++ = eid;
+        }
+    }
+}
+
+/* Returns 0 on success, or -(pair_token_idx+1) of the first unknown edge. */
+EXPORT int64_t pt_lookup_edges_adj(
+    const int64_t* ids, const uint8_t* orient,
+    const int64_t* prefsum, int64_t n_paths,
+    const int64_t* row_off, const uint64_t* adj_key, const int64_t* adj_eid,
+    int64_t* out_eids, const int64_t* out_pref, int32_t n_threads)
+{
+    adj_ctx c = {
+        ids, orient, prefsum, n_paths, row_off, adj_key, adj_eid,
+        out_eids, out_pref, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    if (n_threads > (int32_t)n_paths) n_threads = (int32_t)n_paths;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        adj_worker(&c);
+        return c.err;
+    }
+    pthread_t tids[64];
+    if (n_threads > 64) n_threads = 64;
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++) {
+        if (pthread_create(&tids[t], NULL, adj_worker, &c) == 0) spawned++;
+        else break;
+    }
+    adj_worker(&c);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    return c.err;
+}
+
 /* ---- membership-matrix builder --------------------------------------------
  *
  * OR the group bit of every (path, group) block's item ids into the packed

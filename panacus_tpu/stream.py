@@ -126,14 +126,18 @@ def _slab_edges(
     """Per-slab edge CSR from the node CSR (canonical edge ids of every
     consecutive pair; counterpart of the unmasked edge branch in
     itemize_paths)."""
-    from .native import lookup_edges
+    from .native import lookup_edges, lookup_edges_adj
     from .runtime import effective_threads
 
     if len(ids) == 0:
         return np.zeros(0, np.int64), prefsum.copy()
-    res = lookup_edges(
-        ids, orient, prefsum, graph.edge_hash(), effective_threads()
+    res = lookup_edges_adj(
+        ids, orient, prefsum, graph.edge_adj(), effective_threads()
     )
+    if res is None:
+        res = lookup_edges(
+            ids, orient, prefsum, graph.edge_hash(), effective_threads()
+        )
     if res is not None:
         return res
     counts = np.diff(prefsum)

@@ -234,3 +234,72 @@ def test_larger_random_graph_parity(tmp_path):
             assert np.array_equal(tn.items, tp.items)
             assert np.array_equal(tn.prefsum, tp.prefsum)
         assert it_native.paths_len == it_py.paths_len
+
+
+def test_edge_adj_matches_hash_lookup(tmp_path):
+    """CSR adjacency lookup (the hot-path structure) vs the open hash on a
+    random graph with mixed orientations, reversed traversals and a hub
+    node — both must produce identical canonical edge ids."""
+    rng = np.random.default_rng(17)
+    n_nodes, n_paths = 300, 12
+    lines = ["H\tVN:Z:1.0"]
+    for v in range(1, n_nodes + 1):
+        lines.append(f"S\t{v}\tAC")
+    paths = []
+    edge_set = set()
+    hub = 1
+    for p in range(n_paths):
+        k = int(rng.integers(20, 120))
+        visits = rng.integers(1, n_nodes + 1, size=k)
+        # force hub-node traffic (a high-degree row exercises the binary
+        # search branch) and some back-edges
+        visits[:: max(k // 8, 1)] = hub
+        orient = rng.integers(0, 2, size=k)
+        paths.append((visits, orient))
+        for i in range(k - 1):
+            u, o1 = int(visits[i]), int(orient[i])
+            v, o2 = int(visits[i + 1]), int(orient[i + 1])
+            if u > v or (u == v and o1):
+                u, o1, v, o2 = v, o2 ^ 1, u, o1 ^ 1
+            edge_set.add((u, o1, v, o2))
+    for u, o1, v, o2 in sorted(edge_set):
+        lines.append(f"L\t{u}\t{'-' if o1 else '+'}\t{v}\t{'-' if o2 else '+'}\t0M")
+    for p, (visits, orient) in enumerate(paths):
+        toks = ",".join(
+            f"{v}{'-' if o else '+'}" for v, o in zip(visits, orient)
+        )
+        lines.append(f"P\tp{p}\t{toks}\t*")
+    gfa = _write(tmp_path, "adj.gfa", "\n".join(lines) + "\n")
+
+    g = GraphStorage(gfa, index_edges=True)
+    if g.edge_adj() is None or g.edge_hash() is None:
+        pytest.skip("native library unavailable")
+    pids = np.arange(n_paths, dtype=np.int64)
+    batch = g.all_path_item_runs(pids)
+    assert batch is not None
+    ids, orient, prefsum, _bp = batch
+    r_hash = native.lookup_edges(ids, orient, prefsum, g.edge_hash(), 2)
+    r_adj = native.lookup_edges_adj(ids, orient, prefsum, g.edge_adj(), 2)
+    assert r_hash is not None and r_adj is not None
+    np.testing.assert_array_equal(r_adj[0], r_hash[0])
+    np.testing.assert_array_equal(r_adj[1], r_hash[1])
+    # a hub row really is large enough to hit the binary-search branch
+    row_off = g.edge_adj()[0]
+    assert int((row_off[hub + 1] - row_off[hub])) > 32
+
+
+def test_edge_adj_unknown_edge_raises(tmp_path):
+    gfa = _write(
+        tmp_path,
+        "unk.gfa",
+        "H\tVN:Z:1.0\nS\t1\tA\nS\t2\tC\nS\t3\tG\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "P\tp0\t1+,2+,3+\t*\n",
+    )
+    g = GraphStorage(gfa, index_edges=True)
+    if g.edge_adj() is None:
+        pytest.skip("native library unavailable")
+    batch = g.all_path_item_runs(np.arange(1, dtype=np.int64))
+    ids, orient, prefsum, _bp = batch
+    with pytest.raises(ValueError, match="unknown edge"):
+        native.lookup_edges_adj(ids, orient, prefsum, g.edge_adj(), 1)
