@@ -134,9 +134,20 @@ def _broker_pieces(gfa: str, count_types, index_edges: bool):
     return g, abaci, (t_index, t_stream)
 
 
+def _placement_of(engine) -> str:
+    """Where the membership matrix actually lives: 'tpu-hbm' (committed to
+    an accelerator), 'host-xla' (count_device kept it on the host backend),
+    or 'sharded' (multi-device item sharding)."""
+    dev = engine._m_device()
+    if dev is None:
+        return "sharded"
+    return "tpu-hbm" if dev.platform in ("tpu", "axon") else "host-xla"
+
+
 def run_histgrowth(gfa: str, count: str):
     """One histgrowth run. count: 'all' | 'node' | 'edge'. Returns
-    (hists dict, growth count, phase times)."""
+    (hists dict, growth count, phase times). Records the M placement of
+    the last run in run_histgrowth.placement."""
     from panacus_tpu.hist import Hist
     from panacus_tpu.utils import CountType, ThresholdContainer
 
@@ -148,6 +159,7 @@ def run_histgrowth(gfa: str, count: str):
     g, abaci, (t_index, t_stream) = _broker_pieces(
         gfa, counts, index_edges=CountType.EDGE in counts
     )
+    run_histgrowth.placement = _placement_of(next(iter(abaci.values())).engine)
 
     # device tail: every membership row is already HBM-resident after the
     # streamed build, so this is the fused hist dispatches + result fetch
@@ -263,6 +275,7 @@ def run_inner() -> None:
         make_graph(CACHE)
     size_mb = os.path.getsize(CACHE) / 1e6
 
+    stages = {}
     # headline: -c all (node+bp+edge hists + 3 growth curves each)
     mbps_all = _timed_stage(
         "histgrowth -c all",
@@ -270,27 +283,35 @@ def run_inner() -> None:
         size_mb,
         BASELINE_ALL_MBPS,
     )
+    placement = getattr(run_histgrowth, "placement", "unknown")
+    stages["all"] = round(mbps_all, 1)
 
     # continuity stages
     try:
-        _timed_stage(
-            "histgrowth node",
-            lambda: run_histgrowth(CACHE, "node"),
-            size_mb,
-            BASELINE_NODE_MBPS,
-            reps=2,
+        stages["node"] = round(
+            _timed_stage(
+                "histgrowth node",
+                lambda: run_histgrowth(CACHE, "node"),
+                size_mb,
+                BASELINE_NODE_MBPS,
+                reps=2,
+            ),
+            1,
         )
-        _timed_stage(
-            "histgrowth edge",
-            lambda: run_histgrowth(CACHE, "edge"),
-            size_mb,
-            BASELINE_EDGE_MBPS,
-            reps=2,
+        stages["edge"] = round(
+            _timed_stage(
+                "histgrowth edge",
+                lambda: run_histgrowth(CACHE, "edge"),
+                size_mb,
+                BASELINE_EDGE_MBPS,
+                reps=2,
+            ),
+            1,
         )
     except Exception as e:
         sys.stderr.write(f"[bench] secondary stage failed: {e}\n")
 
-    # gzip-input stage (streamed decompression; MB/s on uncompressed bytes)
+    # gzip-input stage (libdeflate inflate; MB/s on uncompressed bytes)
     try:
         gz = CACHE + ".gz"
         if not os.path.exists(gz):
@@ -302,12 +323,15 @@ def run_inner() -> None:
                 f"[bench] gzipped graph in {time.time() - t0:.1f}s "
                 f"({os.path.getsize(gz) / 1e6:.0f} MB)\n"
             )
-        _timed_stage(
-            "histgrowth node (gz input)",
-            lambda: run_histgrowth(gz, "node"),
-            size_mb,
-            BASELINE_NODE_MBPS,
-            reps=2,
+        stages["gz_node"] = round(
+            _timed_stage(
+                "histgrowth node (gz input)",
+                lambda: run_histgrowth(gz, "node"),
+                size_mb,
+                BASELINE_NODE_MBPS,
+                reps=2,
+            ),
+            1,
         )
     except Exception as e:
         sys.stderr.write(f"[bench] gz stage failed: {e}\n")
@@ -327,6 +351,11 @@ def run_inner() -> None:
         "value": round(mbps_all, 2),
         "unit": "MB/s",
         "vs_baseline": round(mbps_all / BASELINE_ALL_MBPS, 3),
+        # where the membership matrix actually lived during the headline
+        # run — "tpu-hbm" means TPU compute, "host-xla" means the adaptive
+        # placement policy kept counting on the host (slow tunnel link)
+        "placement": placement,
+        "stages": stages,
     }
     if frac is not None:
         out["device_bw_frac"] = round(frac, 3)
@@ -366,9 +395,13 @@ def main() -> None:
     attempts.append(("cpu host", cpu_env, budget))
 
     # run every backend and report the best end-to-end throughput; the
-    # roofline fields always come from the accelerator attempt
+    # roofline fields always come from the accelerator attempt, and every
+    # attempt's placement + stage table is preserved so "default backend
+    # wins" can never be misread as TPU-compute wins when the adaptive
+    # policy kept M on the host
     results = []
     device_fields = {}
+    attempt_summaries = {}
     for name, env, t in attempts:
         sys.stderr.write(f"[bench] attempt: {name} (timeout {t}s)\n")
         try:
@@ -394,14 +427,24 @@ def main() -> None:
                     "device_bw_frac": parsed["device_bw_frac"],
                     "device_bw_gbps": parsed["device_bw_gbps"],
                 }
+            attempt_summaries[name] = {
+                "value": parsed["value"],
+                "placement": parsed.get("placement", "unknown"),
+                "stages": parsed.get("stages", {}),
+            }
             results.append((name, parsed))
-            sys.stderr.write(f"[bench] {name}: {parsed['value']} MB/s\n")
+            sys.stderr.write(
+                f"[bench] {name}: {parsed['value']} MB/s "
+                f"(M placement: {parsed.get('placement')})\n"
+            )
         else:
             sys.stderr.write(f"[bench] {name} failed (rc={r.returncode})\n")
     if results:
         best_name, best = max(results, key=lambda kv: kv[1]["value"])
         sys.stderr.write(f"[bench] best backend: {best_name}\n")
         best.update(device_fields)
+        best["backend"] = best_name
+        best["attempts"] = attempt_summaries
         print(json.dumps(best))
         return
     # last resort: report zero throughput rather than nothing

@@ -105,12 +105,16 @@ class PathSegment:
 
 
 def _read_gz_streamed(gfa_file: str) -> bytearray:
-    """Stream-decompress a (possibly multi-member) gzip file into ONE
-    growing buffer via readinto — no chunk-list accumulation + join, so peak
-    memory stays ~1x the uncompressed size (the reference streams through
-    MultiGzDecoder, src/io.rs:23-33; our columnar indexer needs the whole
-    buffer, so we stream *into* it). The initial capacity comes from the
-    gzip ISIZE footer (exact for single-member files, a floor otherwise)."""
+    """Decompress a (possibly multi-member) gzip file into ONE buffer.
+
+    Fast path: whole-buffer inflate via system libdeflate (~2.5-3x zlib
+    throughput; member-by-member for concatenated streams). Fallback:
+    stream through gzip.open with readinto into a growing buffer — no
+    chunk-list accumulation + join either way, so peak memory stays ~1x
+    the uncompressed size (the reference streams through MultiGzDecoder,
+    src/io.rs:23-33; our columnar indexer needs the whole buffer, so we
+    decompress *into* it). The initial capacity comes from the gzip ISIZE
+    footer (exact for single-member files, a floor otherwise)."""
     import os as _os
 
     csize = _os.path.getsize(gfa_file)
@@ -126,6 +130,17 @@ def _read_gz_streamed(gfa_file: str) -> bytearray:
     # before gzip.open ever validates the stream; the 1.5x growth loop
     # handles underestimates
     cap = max(min(isize, 64 * csize), 2 * csize, 1 << 20)
+
+    from .native import gzip_decompress_buffer
+
+    try:
+        raw_map = np.memmap(gfa_file, dtype=np.uint8, mode="r")
+        out = gzip_decompress_buffer(raw_map, cap)
+        if out is not None:
+            return out
+    except (OSError, ValueError):
+        pass
+
     buf = bytearray(cap)
     pos = 0
     with gzip.open(gfa_file, "rb") as f:

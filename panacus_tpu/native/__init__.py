@@ -277,6 +277,104 @@ def _as_u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+# -- libdeflate gzip inflate ---------------------------------------------------
+
+_DEFLATE = None
+_DEFLATE_TRIED = False
+
+
+def _get_libdeflate():
+    """System libdeflate, whose whole-buffer inflate runs ~2.5-3x faster
+    than zlib's streaming inflate (measured 600-700 vs 257 MB/s on the
+    bench graph). Optional: gzip ingest falls back to the zlib stream."""
+    global _DEFLATE, _DEFLATE_TRIED
+    if _DEFLATE_TRIED:
+        return _DEFLATE
+    _DEFLATE_TRIED = True
+    if os.environ.get("PANACUS_TPU_NO_LIBDEFLATE") == "1":
+        return None
+    for name in ("libdeflate.so.0", "libdeflate.so", "libdeflate.dylib"):
+        try:
+            lib = ctypes.CDLL(name)
+            lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+            lib.libdeflate_free_decompressor.restype = None
+            lib.libdeflate_free_decompressor.argtypes = [ctypes.c_void_p]
+            lib.libdeflate_gzip_decompress_ex.restype = ctypes.c_int
+            lib.libdeflate_gzip_decompress_ex.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            _DEFLATE = lib
+            log.debug("libdeflate loaded (%s)", name)
+            return _DEFLATE
+        except OSError:
+            continue
+    return None
+
+
+def gzip_decompress_buffer(
+    raw: np.ndarray, size_hint: int
+) -> Optional[bytearray]:
+    """Inflate a (possibly multi-member) gzip byte buffer with libdeflate
+    into one bytearray. Returns None when libdeflate is unavailable or the
+    stream is malformed (caller falls back to the zlib path, which raises
+    the user-facing error)."""
+    lib = _get_libdeflate()
+    if lib is None or len(raw) < 18:
+        return None
+    d = lib.libdeflate_alloc_decompressor()
+    if not d:
+        return None
+    try:
+        cap = max(int(size_hint), 1 << 20)
+        out = bytearray(cap)
+        in_off = 0
+        out_off = 0
+        n_in = len(raw)
+        raw_p = raw.ctypes.data_as(ctypes.c_void_p).value
+        while in_off < n_in:
+            # gzip member magic; MultiGzDecoder-style: stop at padding
+            if raw[in_off] != 0x1F:
+                if not raw[in_off:].any():
+                    break  # zero padding after the last member
+                return None
+            ain = ctypes.c_size_t(0)
+            aout = ctypes.c_size_t(0)
+            while True:
+                view = (ctypes.c_char * (len(out) - out_off)).from_buffer(
+                    out, out_off
+                )
+                rc = lib.libdeflate_gzip_decompress_ex(
+                    d,
+                    ctypes.c_void_p(raw_p + in_off),
+                    n_in - in_off,
+                    ctypes.addressof(view),
+                    len(out) - out_off,
+                    ctypes.byref(ain),
+                    ctypes.byref(aout),
+                )
+                del view
+                if rc == 3:  # INSUFFICIENT_SPACE: grow 1.5x and retry
+                    grown = bytearray(len(out) + len(out) // 2 + (1 << 20))
+                    grown[:out_off] = memoryview(out)[:out_off]
+                    out = grown
+                    continue
+                break
+            if rc != 0:
+                return None
+            in_off += ain.value
+            out_off += aout.value
+        del out[out_off:]
+        return out
+    finally:
+        lib.libdeflate_free_decompressor(ctypes.c_void_p(d))
+
+
 def parse_int_spans(buf, starts, ends):
     """C batch parse of integers at [starts[i], ends[i]). Returns int64
     array or None (unavailable / non-integer content)."""
