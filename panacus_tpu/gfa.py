@@ -379,18 +379,68 @@ class GraphStorage:
         if not self.path_segments:
             log.warning("graph does not contain any annotated paths (P/W lines)")
 
-        self.edge_count = 0
+        self._edge_count = 0
         self._edge_keys_sorted: Optional[np.ndarray] = None
         self._edge_ids_sorted: Optional[np.ndarray] = None
         self._edge_hash = None
         self._edge_adj = None
-        self.edges_u = self.edges_o1 = self.edges_v = self.edges_o2 = None
-        self.degree: Optional[np.ndarray] = None
+        self._edges_u = self._edges_o1 = None
+        self._edges_v = self._edges_o2 = None
+        self._degree: Optional[np.ndarray] = None
+        self._edge_future = None
         if index_edges:
-            self._index_edges(starts[is_l], ends[is_l])
+            # L-line indexing runs in a worker thread (the native parser
+            # releases the GIL), overlapping with the caller's path
+            # tokenization — on a 2-core box this hides most of the edge
+            # index cost behind the streamed membership build. Every edge
+            # accessor joins first (_ensure_edges).
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(max_workers=1)
+            self._edge_future = ex.submit(
+                self._index_edges, starts[is_l], ends[is_l]
+            )
+            ex.shutdown(wait=False)
+
+    def _ensure_edges(self) -> None:
+        f = self._edge_future
+        if f is not None:
+            self._edge_future = None
+            f.result()  # re-raises indexing errors at first edge use
+
+    @property
+    def edge_count(self) -> int:
+        self._ensure_edges()
+        return self._edge_count
+
+    @property
+    def degree(self) -> Optional[np.ndarray]:
+        self._ensure_edges()
+        return self._degree
+
+    @property
+    def edges_u(self):
+        self._ensure_edges()
+        return self._edges_u
+
+    @property
+    def edges_o1(self):
+        self._ensure_edges()
+        return self._edges_o1
+
+    @property
+    def edges_v(self):
+        self._ensure_edges()
+        return self._edges_v
+
+    @property
+    def edges_o2(self):
+        self._ensure_edges()
+        return self._edges_o2
 
     def edge_hash(self):
         """Lazy native hash table over canonical edge keys (or None)."""
+        self._ensure_edges()
         if self._edge_hash is None and self._edge_keys_sorted is not None:
             from .native import build_edge_hash
 
@@ -403,14 +453,15 @@ class GraphStorage:
         """Lazy native CSR adjacency over canonical source nodes (or None):
         the cache-friendly lookup structure for the hot path itemizer (the
         open hash costs a random DRAM miss per pair on large graphs)."""
-        if self._edge_adj is None and self.edges_u is not None:
+        self._ensure_edges()
+        if self._edge_adj is None and self._edges_u is not None:
             from .native import build_edge_adj
 
             self._edge_adj = build_edge_adj(
-                self.edges_u,
-                self.edges_o1,
-                self.edges_v,
-                self.edges_o2,
+                self._edges_u,
+                self._edges_o1,
+                self._edges_v,
+                self._edges_o2,
                 self.node_count,
             )
         return self._edge_adj
@@ -668,14 +719,14 @@ class GraphStorage:
         tabs = self._tabs
         n = len(l_starts)
         if n == 0:
-            self.edge_count = 0
-            self.degree = np.zeros(self.node_count + 1, dtype=np.uint32)
+            self._edge_count = 0
+            self._degree = np.zeros(self.node_count + 1, dtype=np.uint32)
             self._edge_keys_sorted = np.zeros(0, dtype=np.uint64)
             self._edge_ids_sorted = np.zeros(0, dtype=np.int64)
-            self.edges_u = np.zeros(0, np.int64)
-            self.edges_o1 = np.zeros(0, np.uint8)
-            self.edges_v = np.zeros(0, np.int64)
-            self.edges_o2 = np.zeros(0, np.uint8)
+            self._edges_u = np.zeros(0, np.int64)
+            self._edges_o1 = np.zeros(0, np.uint8)
+            self._edges_v = np.zeros(0, np.int64)
+            self._edges_o2 = np.zeros(0, np.uint8)
             return
         if self._int_name_mode is not None:
             from .native import index_edges
@@ -692,17 +743,17 @@ class GraphStorage:
             if res is not None:
                 (
                     self._edge_hash,
-                    self.edges_u,
-                    self.edges_o1,
-                    self.edges_v,
-                    self.edges_o2,
-                    self.degree,
+                    self._edges_u,
+                    self._edges_o1,
+                    self._edges_v,
+                    self._edges_o2,
+                    self._degree,
                     n_dup,
                 ) = res
-                self.edge_count = len(self.edges_u)
+                self._edge_count = len(self._edges_u)
                 if n_dup:
                     log.warning("%d duplicated edges in GFA", n_dup)
-                log.info("found: %d edges", self.edge_count)
+                log.info("found: %d edges", self._edge_count)
                 return
         ti = np.searchsorted(tabs, l_starts)
         t1 = tabs[ti]
@@ -752,18 +803,18 @@ class GraphStorage:
         ids_sorted[order] = np.arange(1, len(uniq) + 1)
         self._edge_keys_sorted = uniq
         self._edge_ids_sorted = ids_sorted
-        self.edge_count = len(uniq)
+        self._edge_count = len(uniq)
         # per unique edge endpoints, in id order
         inv_order = first_idx[order]
-        self.edges_u = cu[inv_order]
-        self.edges_o1 = co1[inv_order]
-        self.edges_v = cv[inv_order]
-        self.edges_o2 = co2[inv_order]
-        self.degree = (
-            np.bincount(self.edges_u, minlength=self.node_count + 1)
-            + np.bincount(self.edges_v, minlength=self.node_count + 1)
+        self._edges_u = cu[inv_order]
+        self._edges_o1 = co1[inv_order]
+        self._edges_v = cv[inv_order]
+        self._edges_o2 = co2[inv_order]
+        self._degree = (
+            np.bincount(self._edges_u, minlength=self.node_count + 1)
+            + np.bincount(self._edges_v, minlength=self.node_count + 1)
         ).astype(np.uint32)
-        log.info("found: %d edges", self.edge_count)
+        log.info("found: %d edges", self._edge_count)
 
     def edge_ids_for_pairs(
         self,
@@ -773,6 +824,7 @@ class GraphStorage:
         o2: np.ndarray,
     ) -> np.ndarray:
         """Canonical edge id lookup for oriented node pairs (vectorized)."""
+        self._ensure_edges()
         if self._edge_hash is not None:
             from .native import lookup_pairs
 

@@ -152,6 +152,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p,       # out_eids, out_pref
         ctypes.c_int32,   # n_threads
     ]
+    lib.pt_pack_edges_adj.restype = i64
+    lib.pt_pack_edges_adj.argtypes = [
+        i64p, u8p,        # ids, orient
+        i64p, i64,        # prefsum, n_paths
+        i64p,             # gbit (per path)
+        i64p, u64p, i64p,  # row_off, adj_key, adj_eid
+        u32p,             # edge_row
+    ]
     lib.pt_index_edges.restype = i64
     lib.pt_index_edges.argtypes = [
         u8p,             # buf
@@ -901,6 +909,48 @@ def lookup_edges_adj(
             f"unknown edge between segments {ids_c[k]} and {ids_c[k + 1]}"
         )
     return out, e_pref
+
+
+def pack_edges_adj(
+    ids: np.ndarray,
+    orient: np.ndarray,
+    prefsum: np.ndarray,
+    gbit: np.ndarray,
+    edge_adj,
+    edge_row: np.ndarray,
+) -> bool:
+    """Fused edge lookup + group-bit OR into edge_row (uint32
+    [n_items_pad]): the -c all hot path never materializes the edge-id
+    CSR. Returns False when native is unavailable; raises on unknown
+    edges."""
+    lib = get_lib()
+    if lib is None or edge_adj is None:
+        return False
+    row_off, adj_key, adj_eid = edge_adj
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n_paths = len(prefsum) - 1
+    ids_c = np.ascontiguousarray(ids, dtype=np.int64)
+    or_c = np.ascontiguousarray(orient, dtype=np.uint8)
+    pf_c = np.ascontiguousarray(prefsum, dtype=np.int64)
+    gb_c = np.ascontiguousarray(gbit, dtype=np.int64)
+    rc = lib.pt_pack_edges_adj(
+        ids_c.ctypes.data_as(i64p),
+        _as_u8p(or_c),
+        pf_c.ctypes.data_as(i64p),
+        ctypes.c_int64(n_paths),
+        gb_c.ctypes.data_as(i64p),
+        row_off.ctypes.data_as(i64p),
+        adj_key.ctypes.data_as(u64p),
+        adj_eid.ctypes.data_as(i64p),
+        edge_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc < 0:
+        k = -rc - 1
+        raise ValueError(
+            f"unknown edge between segments {ids_c[k]} and {ids_c[k + 1]}"
+        )
+    return True
 
 
 def parse_path_tokens(

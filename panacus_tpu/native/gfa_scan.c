@@ -953,6 +953,45 @@ EXPORT int64_t pt_lookup_edges_adj(
     return c.err;
 }
 
+/* Fused edge lookup + membership pack: one pass over a slab's node CSR
+ * that canonicalizes each consecutive pair, resolves its edge id through
+ * the CSR adjacency, and ORs the path's group bit straight into the edge
+ * membership row — the edge-id array is never materialized (the streamed
+ * -c all path previously wrote + re-read it across two extra passes).
+ * Single-threaded by design: it runs on the main thread while the batch
+ * tokenizer owns the second core. Returns 0, or -(token_idx+1) for the
+ * first unknown edge. */
+EXPORT int64_t pt_pack_edges_adj(
+    const int64_t* ids, const uint8_t* orient,
+    const int64_t* prefsum, int64_t n_paths,
+    const int64_t* gbit,
+    const int64_t* row_off, const uint64_t* adj_key, const int64_t* adj_eid,
+    uint32_t* edge_row)
+{
+    for (int64_t p = 0; p < n_paths; p++) {
+        uint32_t bit = (uint32_t)1 << gbit[p];
+        int64_t a = prefsum[p], b = prefsum[p + 1];
+        for (int64_t k = a; k + 1 < b; k++) {
+            int64_t u = ids[k], v = ids[k + 1];
+            uint8_t o1 = orient[k], o2 = orient[k + 1];
+            uint64_t cu, cv, co1, co2;
+            if (u > v || (u == v && o1)) {
+                cu = (uint64_t)v; co1 = o2 ^ 1u;
+                cv = (uint64_t)u; co2 = o1 ^ 1u;
+            } else {
+                cu = (uint64_t)u; co1 = o1;
+                cv = (uint64_t)v; co2 = o2;
+            }
+            int64_t eid = edge_adj_get(
+                row_off, adj_key, adj_eid,
+                (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
+            if (!eid) return -(k + 1);
+            edge_row[eid] |= bit;
+        }
+    }
+    return 0;
+}
+
 /* ---- membership-matrix builder --------------------------------------------
  *
  * OR the group bit of every (path, group) block's item ids into the packed

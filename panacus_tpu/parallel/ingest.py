@@ -10,14 +10,19 @@ same matrix. Each host:
   1. indexes the GFA structure (S lines + path spans — a cheap scan
      relative to tokenizing the path payload, which is 70-95% of the
      bytes),
-  2. tokenizes ONLY its slice of the paths (`host_path_slice`),
-  3. builds a partial membership matrix and ORs it into its device shards
-     (`jax.make_array_from_single_device_arrays` across processes, or a
-     psum of partials on a virtual mesh).
+  2. tokenizes ONLY the paths of its 32-group word block
+     (`multihost_total_abaci` — the PRODUCTION path: GraphBroker routes
+     here whenever `jax.process_count() > 1`),
+  3. contributes its word rows to the global M via
+     `jax.make_array_from_single_device_arrays` + one resharding
+     collective (`assemble_global_matrix`).
 
-`init_distributed()` wires `jax.distributed.initialize` for real
-multi-host slices; tests exercise the partition/merge invariant on a
-single process (tests/test_ingest.py).
+`init_distributed()` wires `jax.distributed.initialize` from coordinator
+env vars; `cli.run_cli` calls it on startup. tests/test_multihost.py
+drives two REAL jax.distributed processes through the broker and the
+CLI; tests/test_ingest.py covers the single-process partition/merge
+invariants of the path-sliced helpers (`host_path_slice`,
+`partial_membership`, `merge_partials`).
 """
 
 from __future__ import annotations

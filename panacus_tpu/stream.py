@@ -153,6 +153,63 @@ def _slab_edges(
     return eids, e_pref
 
 
+class LazyEdgeTable:
+    """Edge ItemTable view derived on demand from the node CSR and the
+    graph's edge index. The streamed -c all path packs edge membership
+    rows directly (native pt_pack_edges_adj) without ever materializing
+    per-path edge-id runs; only the group-table export resolves them,
+    lazily, through this view. Interface-compatible with
+    SlabbedItemTable (path_slice / items / prefsum)."""
+
+    def __init__(self, graph: GraphStorage, num_paths: int):
+        self.num_paths = num_paths
+        self._graph = graph
+        self._slabs: List[Tuple[np.ndarray, ...]] = []
+        self._where: Dict[int, Tuple[int, int]] = {}
+        self._items: Optional[np.ndarray] = None
+        self._prefsum: Optional[np.ndarray] = None
+
+    def add_slab(self, path_ids, ids, orient, prefsum) -> None:
+        s = len(self._slabs)
+        self._slabs.append((path_ids, ids, orient, prefsum))
+        for k, p in enumerate(path_ids):
+            self._where[int(p)] = (s, k)
+
+    def path_slice(self, path_idx: int) -> np.ndarray:
+        loc = self._where.get(path_idx)
+        if loc is None:
+            return np.zeros(0, dtype=np.int64)
+        s, k = loc
+        _, ids, orient, prefsum = self._slabs[s]
+        a, b = prefsum[k], prefsum[k + 1]
+        if b - a < 2:
+            return np.zeros(0, dtype=np.int64)
+        run, orun = ids[a:b], orient[a:b]
+        return self._graph.edge_ids_for_pairs(
+            run[:-1], orun[:-1], run[1:], orun[1:]
+        )
+
+    def _materialize(self) -> None:
+        chunks = [self.path_slice(p) for p in range(self.num_paths)]
+        self._prefsum = np.zeros(self.num_paths + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in chunks], out=self._prefsum[1:])
+        self._items = (
+            np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+        )
+
+    @property
+    def items(self) -> np.ndarray:
+        if self._items is None:
+            self._materialize()
+        return self._items
+
+    @property
+    def prefsum(self) -> np.ndarray:
+        if self._prefsum is None:
+            self._materialize()
+        return self._prefsum
+
+
 def streamed_total_abaci(
     graph: GraphStorage,
     mask: GraphMask,
@@ -197,7 +254,19 @@ def streamed_total_abaci(
         else None
     )
     node_table = SlabbedItemTable(n_paths) if need_node else None
-    edge_table = SlabbedItemTable(n_paths) if need_edge else None
+    edge_table = None
+    edge_fused = False
+    if need_edge:
+        from .native import get_lib
+
+        edge_fused = (
+            get_lib() is not None and graph.edge_adj() is not None
+        )
+        edge_table = (
+            LazyEdgeTable(graph, n_paths)
+            if edge_fused
+            else SlabbedItemTable(n_paths)
+        )
     paths_len: Dict[PathSegment, Tuple[int, int]] = {}
 
     log.info(
@@ -206,16 +275,47 @@ def streamed_total_abaci(
         n_groups,
         count_types,
     )
+    # pipeline split: the worker thread tokenizes slab i+1 (threaded C,
+    # GIL-released); in fused-edge mode it ALSO packs slab i's node row, so
+    # the main thread's work is exactly the fused edge lookup+pack — on a
+    # 2-core box this balances the two threads (~equal core-seconds each)
+    worker_packs_node = need_node and need_edge and edge_fused
+
+    def work(next_pids, cur_slab, cur_batch):
+        nxt = (
+            graph.all_path_item_runs(next_pids)
+            if next_pids is not None
+            else True
+        )
+        row = None
+        if (
+            worker_packs_node
+            and cur_slab is not None
+            and cur_slab.word >= 0
+            and cur_batch is not None
+        ):
+            row = _pack_row(
+                cur_batch[0],
+                cur_batch[2],
+                cur_slab.gidx_rel,
+                node_stream.engine.n_items_pad,
+            )
+        return nxt, row
+
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(graph.all_path_item_runs, slabs[0].path_ids)
+        fut = ex.submit(work, slabs[0].path_ids, None, None)
+        prev_slab = None
         for i, slab in enumerate(slabs):
-            batch = fut.result()
+            batch, prev_row = fut.result()
             if batch is None:  # tokenizer bailed: let the classic path run
                 return None
-            if i + 1 < len(slabs):
-                fut = ex.submit(
-                    graph.all_path_item_runs, slabs[i + 1].path_ids
-                )
+            if prev_row is not None:
+                node_stream.feed(prev_slab.word, prev_row)
+            next_pids = (
+                slabs[i + 1].path_ids if i + 1 < len(slabs) else None
+            )
+            fut = ex.submit(work, next_pids, slab, batch)
+            prev_slab = slab
             ids, orient, prefsum, bp = batch
             if need_node:
                 # paths_len parity with the classic itemizer, which fills it
@@ -225,7 +325,7 @@ def streamed_total_abaci(
                 for k, pid in enumerate(slab.path_ids):
                     paths_len[segs[int(pid)]] = (int(counts[k]), int(bp[k]))
                 node_table.add_slab(slab.path_ids, ids, prefsum)
-                if slab.word >= 0:
+                if not worker_packs_node and slab.word >= 0:
                     node_stream.feed(
                         slab.word,
                         _pack_row(
@@ -236,18 +336,46 @@ def streamed_total_abaci(
                         ),
                     )
             if need_edge:
-                eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
-                edge_table.add_slab(slab.path_ids, eids, e_pref)
-                if slab.word >= 0:
-                    edge_stream.feed(
-                        slab.word,
-                        _pack_row(
-                            eids,
-                            e_pref,
+                if edge_fused:
+                    # fused path: lookup + group-bit OR in one C pass, no
+                    # edge-id CSR; the LazyEdgeTable keeps node-CSR refs
+                    # for on-demand export
+                    edge_table.add_slab(slab.path_ids, ids, orient, prefsum)
+                    if slab.word >= 0:
+                        from .native import pack_edges_adj
+
+                        row = np.zeros(
+                            (1, edge_stream.engine.n_items_pad),
+                            dtype=np.uint32,
+                        )
+                        pack_edges_adj(
+                            ids,
+                            orient,
+                            prefsum,
                             slab.gidx_rel,
-                            edge_stream.engine.n_items_pad,
-                        ),
-                    )
+                            graph.edge_adj(),
+                            row[0],
+                        )
+                        row[0, 0] = 0
+                        edge_stream.feed(slab.word, row[0])
+                else:
+                    eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
+                    edge_table.add_slab(slab.path_ids, eids, e_pref)
+                    if slab.word >= 0:
+                        edge_stream.feed(
+                            slab.word,
+                            _pack_row(
+                                eids,
+                                e_pref,
+                                slab.gidx_rel,
+                                edge_stream.engine.n_items_pad,
+                            ),
+                        )
+
+        # drain: the last worker job still carries the final slab's node row
+        _, last_row = fut.result()
+        if last_row is not None:
+            node_stream.feed(prev_slab.word, last_row)
 
     node_engine = node_stream.finalize() if need_node else None
     edge_engine = edge_stream.finalize() if need_edge else None
