@@ -11,6 +11,7 @@ import sys
 def main():
     gfa = sys.argv[1]
     out_path = sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "hist"
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
@@ -24,31 +25,65 @@ def main():
 
     from panacus_tpu.broker import GraphBroker, GraphState, Req
     from panacus_tpu.config import Grouping
-    from panacus_tpu.utils import CountType
-
-    gb = GraphBroker()
-    reqs = {Req.graph(gfa), Req.NODE, Req.BP, Req.HIST, Req.PATH_LENS}
-    gb.change_graph_state(
-        GraphState(graph=gfa, name="mh", grouping=Grouping.sample()),
-        reqs,
-        nice=False,
-    )
-    hists = gb.get_hists()
+    from panacus_tpu.utils import CountType, Threshold
     from panacus_tpu.ops.engine import item_mesh_of
 
-    eng = gb.get_abacus_by_total(CountType.NODE).engine
-    mesh = item_mesh_of(eng.M)
+    gb = GraphBroker()
     res = {
         "process": jax.process_index(),
         "n_processes": jax.process_count(),
         "n_devices": len(jax.devices()),
-        "m_sharded": mesh is not None and mesh.devices.size == len(jax.devices()),
-        "node_hist": [int(x) for x in hists[CountType.NODE].coverage],
-        "bp_hist": [int(x) for x in hists[CountType.BP].coverage],
-        "paths_len_total": sorted(
-            (str(k), v[0], v[1]) for k, v in gb.get_path_lens().items()
-        ),
     }
+    if mode == "hist":
+        reqs = {Req.graph(gfa), Req.NODE, Req.BP, Req.HIST, Req.PATH_LENS}
+        gb.change_graph_state(
+            GraphState(graph=gfa, name="mh", grouping=Grouping.sample()),
+            reqs,
+            nice=False,
+        )
+        hists = gb.get_hists()
+        eng = gb.get_abacus_by_total(CountType.NODE).engine
+        mesh = item_mesh_of(eng.M)
+        res.update(
+            m_sharded=mesh is not None
+            and mesh.devices.size == len(jax.devices()),
+            node_hist=[int(x) for x in hists[CountType.NODE].coverage],
+            bp_hist=[int(x) for x in hists[CountType.BP].coverage],
+            paths_len_total=sorted(
+                (str(k), v[0], v[1]) for k, v in gb.get_path_lens().items()
+            ),
+        )
+    elif mode == "group":
+        # AbacusByGroup requirement forces the redundant-itemization
+        # fallback (need_itemized) — M must still shard globally and
+        # ordered growth / similarity must run through the SPMD programs
+        reqs = {
+            Req.graph(gfa),
+            Req.NODE,
+            Req.HIST,
+            Req.abacus_by_group(CountType.NODE),
+        }
+        gb.change_graph_state(
+            GraphState(graph=gfa, name="mh", grouping=Grouping.sample()),
+            reqs,
+            nice=False,
+        )
+        ab = gb.get_abacus_by_group()
+        mesh = item_mesh_of(ab.engine.M)
+        og = ab.calc_growth(Threshold.absolute(1), Threshold.rel(0.0))
+        inter, sizes = ab.similarity_matrix()
+        res.update(
+            m_sharded=mesh is not None
+            and mesh.devices.size == len(jax.devices()),
+            node_hist=[
+                int(x) for x in gb.get_hists()[CountType.NODE].coverage
+            ],
+            ordered=[float(x) for x in og],
+            sim_trace=float(inter.trace()),
+            sim_sum=float(inter.sum()),
+        )
+    else:
+        raise SystemExit(f"unknown mode {mode}")
     with open(out_path, "w") as f:
         json.dump(res, f)
     print("worker done", flush=True)

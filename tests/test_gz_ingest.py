@@ -47,3 +47,30 @@ def test_gz_multi_member(chrm_gfa, tmp_path):
     g_gz, h_gz = hist_of(str(gz))
     assert g_gz.node_count == g_plain.node_count
     np.testing.assert_array_equal(h_gz, h_plain)
+
+
+def test_corrupt_gz_raises(tmp_path):
+    """A corrupt stream must fail loudly through the zlib fallback (the
+    libdeflate fast path returns None on malformed input)."""
+    import pytest
+
+    bad = tmp_path / "bad.gfa.gz"
+    data = gzip.compress(b"H\tVN:Z:1.0\nS\t1\tA\n")
+    bad.write_bytes(data[:10] + b"\xde\xad\xbe\xef" + data[14:])
+    with pytest.raises(Exception):
+        GraphStorage(str(bad), index_edges=False)
+
+
+def test_libdeflate_multimember_with_padding(chrm_gfa, tmp_path):
+    """bgzip-style zero padding after the last member is accepted (the
+    reference's MultiGzDecoder behavior, src/io.rs:23-33)."""
+    data = open(chrm_gfa, "rb").read()
+    gz = tmp_path / "pad.gfa.gz"
+    with open(gz, "wb") as f:
+        f.write(gzip.compress(data[: len(data) // 2]))
+        f.write(gzip.compress(data[len(data) // 2 :]))
+        f.write(b"\x00" * 28)
+    g_plain, h_plain = hist_of(chrm_gfa)
+    g_gz, h_gz = hist_of(str(gz))
+    assert g_gz.node_count == g_plain.node_count
+    np.testing.assert_array_equal(h_gz, h_plain)

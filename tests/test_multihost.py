@@ -154,6 +154,40 @@ def test_two_process_broker_matches_oracle(tmp_path):
     assert total_bp == sum(int(lens[v].sum()) for v in visits_all)
 
 
+def test_two_process_group_abacus_fallback(tmp_path):
+    """AbacusByGroup requirements force the redundant-itemization
+    fallback in multi-host mode: both processes itemize the full graph,
+    M still shards globally, and ordered growth + similarity run through
+    the SPMD programs with identical, oracle-matching results."""
+    gfa = str(tmp_path / "mh_grp.gfa")
+    visits_all, lens = _write_fixture(gfa)
+    port = _free_port()
+    out0, out1 = str(tmp_path / "g0.json"), str(tmp_path / "g1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0, "group"],
+        [sys.executable, worker, gfa, out1, "group"],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["m_sharded"] and r0 == {**r1, "process": 0}
+    node_hist, _ = _oracle_hists(visits_all, lens)
+    assert r0["node_hist"] == node_hist.tolist()
+    # ordered growth at (c=1, q=0) is the cumulative union over groups in
+    # path order; similarity diag holds per-group node counts
+    mem = np.zeros((N_SAMPLES, N_NODES + 1), dtype=bool)
+    for g, visits in enumerate(visits_all):
+        mem[g, visits] = True
+    seen = np.zeros(N_NODES + 1, dtype=bool)
+    want_ordered = []
+    for g in range(N_SAMPLES):
+        seen |= mem[g]
+        want_ordered.append(float(seen[1:].sum()))
+    assert r0["ordered"] == want_ordered
+    assert r0["sim_trace"] == float(mem.sum())
+
+
 def test_two_process_cli_hist_matches_single(tmp_path):
     """The full CLI path: `panacus-tpu hist -S` under two jax.distributed
     processes — process 0 prints the TSV, process 1 stays silent, and the
