@@ -142,13 +142,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_build_edge_adj.argtypes = [
         i64p, u8p, i64p, u8p, i64,  # edges_u, o1, v, o2, n_edges
         i64,                        # n_items
-        i64p, u64p, i64p,           # row_off, adj_key, adj_eid
+        i64p, u64p,                 # row_off, adj_ent
     ]
     lib.pt_lookup_edges_adj.restype = i64
     lib.pt_lookup_edges_adj.argtypes = [
         i64p, u8p,        # ids, orient
         i64p, i64,        # prefsum, n_paths
-        i64p, u64p, i64p,  # row_off, adj_key, adj_eid
+        i64p, u64p,       # row_off, adj_ent
         i64p, i64p,       # out_eids, out_pref
         ctypes.c_int32,   # n_threads
     ]
@@ -157,7 +157,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, u8p,        # ids, orient
         i64p, i64,        # prefsum, n_paths
         i64p,             # gbit (per path)
-        i64p, u64p, i64p,  # row_off, adj_key, adj_eid
+        i64p, u64p,       # row_off, adj_ent
         u32p,             # edge_row
     ]
     lib.pt_index_edges.restype = i64
@@ -835,19 +835,23 @@ def build_edge_adj(
     n_items: int,
 ):
     """CSR adjacency over the canonical source node: (row_off int64
-    [n_items+2], adj_key uint64[E], adj_eid int64[E]), rows sorted by
-    packed dest key. The cache-friendly replacement for the open hash on
-    large graphs (the probe stream of an ascending path becomes
-    near-sequential). Returns None when native is unavailable."""
+    [n_items+2], adj_ent uint64[E] = (vkey << 32) | eid), rows sorted by
+    packed dest key — one interleaved word per entry, so a row scan
+    touches one cache line per 8 entries. The cache-friendly replacement
+    for the open hash on large graphs (the probe stream of an ascending
+    path becomes near-sequential). Returns None when native is
+    unavailable or the packed layout doesn't fit (v >= 2^29 or
+    n_edges >= 2^31 — the open hash handles those)."""
     lib = get_lib()
     if lib is None:
         return None
+    n = len(edges_u)
+    if n >= (1 << 31) or n_items >= (1 << 29):
+        return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    n = len(edges_u)
     row_off = np.zeros(n_items + 2, dtype=np.int64)
-    adj_key = np.empty(n, dtype=np.uint64)
-    adj_eid = np.empty(n, dtype=np.int64)
+    adj_ent = np.empty(n, dtype=np.uint64)
     eu = np.ascontiguousarray(edges_u, dtype=np.int64)
     e1 = np.ascontiguousarray(edges_o1, dtype=np.uint8)
     ev = np.ascontiguousarray(edges_v, dtype=np.int64)
@@ -860,10 +864,9 @@ def build_edge_adj(
         ctypes.c_int64(n),
         ctypes.c_int64(n_items),
         row_off.ctypes.data_as(i64p),
-        adj_key.ctypes.data_as(u64p),
-        adj_eid.ctypes.data_as(i64p),
+        adj_ent.ctypes.data_as(u64p),
     )
-    return row_off, adj_key, adj_eid
+    return row_off, adj_ent
 
 
 def lookup_edges_adj(
@@ -878,7 +881,7 @@ def lookup_edges_adj(
     lib = get_lib()
     if lib is None or edge_adj is None:
         return None
-    row_off, adj_key, adj_eid = edge_adj
+    row_off, adj_ent = edge_adj
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     n_paths = len(prefsum) - 1
@@ -897,8 +900,7 @@ def lookup_edges_adj(
         pf_c.ctypes.data_as(i64p),
         ctypes.c_int64(n_paths),
         row_off.ctypes.data_as(i64p),
-        adj_key.ctypes.data_as(u64p),
-        adj_eid.ctypes.data_as(i64p),
+        adj_ent.ctypes.data_as(u64p),
         out.ctypes.data_as(i64p),
         e_pref.ctypes.data_as(i64p),
         ctypes.c_int32(n_threads),
@@ -926,7 +928,7 @@ def pack_edges_adj(
     lib = get_lib()
     if lib is None or edge_adj is None:
         return False
-    row_off, adj_key, adj_eid = edge_adj
+    row_off, adj_ent = edge_adj
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     n_paths = len(prefsum) - 1
@@ -941,8 +943,7 @@ def pack_edges_adj(
         ctypes.c_int64(n_paths),
         gb_c.ctypes.data_as(i64p),
         row_off.ctypes.data_as(i64p),
-        adj_key.ctypes.data_as(u64p),
-        adj_eid.ctypes.data_as(i64p),
+        adj_ent.ctypes.data_as(u64p),
         edge_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     if rc < 0:

@@ -817,61 +817,68 @@ EXPORT int64_t pt_lookup_pairs(
  */
 
 /* Build: row_off must have n_items + 2 zeroed entries. Fills
- * adj_key[n_edges] = (v << 2) | (o1 << 1) | o2 and adj_eid[n_edges]
- * (first-occurrence ids, 1-based == index + 1 of the edges arrays). */
+ * adj_ent[n_edges] = (vkey << 32) | eid where vkey = (v << 2) |
+ * (o1 << 1) | o2 and eid is the first-occurrence id (1-based == index+1
+ * of the edges arrays): one interleaved uint64 per entry, so a row scan
+ * touches one cache line per 8 entries. Caller must guarantee
+ * v < 2^29 and n_edges < 2^31 (checked Python-side; the open hash is
+ * the general fallback). */
 EXPORT void pt_build_edge_adj(
     const int64_t* eu, const uint8_t* eo1,
     const int64_t* ev, const uint8_t* eo2,
     int64_t n_edges, int64_t n_items,
-    int64_t* row_off, uint64_t* adj_key, int64_t* adj_eid)
+    int64_t* row_off, uint64_t* adj_ent)
 {
     for (int64_t i = 0; i < n_edges; i++) row_off[eu[i] + 1]++;
     for (int64_t u = 0; u <= n_items; u++) row_off[u + 1] += row_off[u];
     /* place (unsorted), using row_off[u+1] as the fill cursor */
     for (int64_t i = 0; i < n_edges; i++) {
         int64_t pos = row_off[eu[i]]++;
-        adj_key[pos] =
+        uint64_t vkey =
             ((uint64_t)ev[i] << 2) | ((uint64_t)eo1[i] << 1) | eo2[i];
-        adj_eid[pos] = i + 1;
+        adj_ent[pos] = (vkey << 32) | (uint64_t)(i + 1);
     }
     /* row_off[u] now ends row u; restore starts by shifting down */
     for (int64_t u = n_items; u > 0; u--) row_off[u] = row_off[u - 1];
     row_off[0] = 0;
-    /* per-row insertion sort by key */
+    /* per-row insertion sort (entries sort by vkey since it occupies the
+     * high bits and eids only break exact-duplicate ties, which the
+     * indexer never emits) */
     for (int64_t u = 1; u <= n_items; u++) {
         int64_t a = row_off[u], b = row_off[u + 1];
         for (int64_t i = a + 1; i < b; i++) {
-            uint64_t k = adj_key[i];
-            int64_t e = adj_eid[i], j = i - 1;
-            while (j >= a && adj_key[j] > k) {
-                adj_key[j + 1] = adj_key[j];
-                adj_eid[j + 1] = adj_eid[j];
+            uint64_t e = adj_ent[i];
+            int64_t j = i - 1;
+            while (j >= a && adj_ent[j] > e) {
+                adj_ent[j + 1] = adj_ent[j];
                 j--;
             }
-            adj_key[j + 1] = k;
-            adj_eid[j + 1] = e;
+            adj_ent[j + 1] = e;
         }
     }
 }
 
 static inline int64_t edge_adj_get(
-    const int64_t* row_off, const uint64_t* adj_key, const int64_t* adj_eid,
+    const int64_t* row_off, const uint64_t* adj_ent,
     int64_t u, uint64_t vkey)
 {
     int64_t a = row_off[u], b = row_off[u + 1];
     if (b - a <= 32) {
         for (int64_t i = a; i < b; i++) {
-            if (adj_key[i] == vkey) return adj_eid[i];
-            if (adj_key[i] > vkey) return 0;
+            uint64_t k = adj_ent[i] >> 32;
+            if (k == vkey) return (int64_t)(adj_ent[i] & 0xFFFFFFFFu);
+            if (k > vkey) return 0;
         }
         return 0;
     }
     while (a < b) {
         int64_t mid = (a + b) >> 1;
-        if (adj_key[mid] < vkey) a = mid + 1;
+        if ((adj_ent[mid] >> 32) < vkey) a = mid + 1;
         else b = mid;
     }
-    return (a < row_off[u + 1] && adj_key[a] == vkey) ? adj_eid[a] : 0;
+    return (a < row_off[u + 1] && (adj_ent[a] >> 32) == vkey)
+        ? (int64_t)(adj_ent[a] & 0xFFFFFFFFu)
+        : 0;
 }
 
 typedef struct {
@@ -880,8 +887,7 @@ typedef struct {
     const int64_t* prefsum;
     int64_t n_paths;
     const int64_t* row_off;
-    const uint64_t* adj_key;
-    const int64_t* adj_eid;
+    const uint64_t* adj_ent;
     int64_t* out_eids;
     const int64_t* out_pref;
     int64_t err;
@@ -911,7 +917,7 @@ static void* adj_worker(void* arg)
                 cv = (uint64_t)v; co2 = o2;
             }
             int64_t eid = edge_adj_get(
-                c->row_off, c->adj_key, c->adj_eid,
+                c->row_off, c->adj_ent,
                 (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
             if (!eid) {
                 pthread_mutex_lock(&c->lock);
@@ -928,11 +934,11 @@ static void* adj_worker(void* arg)
 EXPORT int64_t pt_lookup_edges_adj(
     const int64_t* ids, const uint8_t* orient,
     const int64_t* prefsum, int64_t n_paths,
-    const int64_t* row_off, const uint64_t* adj_key, const int64_t* adj_eid,
+    const int64_t* row_off, const uint64_t* adj_ent,
     int64_t* out_eids, const int64_t* out_pref, int32_t n_threads)
 {
     adj_ctx c = {
-        ids, orient, prefsum, n_paths, row_off, adj_key, adj_eid,
+        ids, orient, prefsum, n_paths, row_off, adj_ent,
         out_eids, out_pref, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     if (n_threads > (int32_t)n_paths) n_threads = (int32_t)n_paths;
@@ -965,7 +971,7 @@ EXPORT int64_t pt_pack_edges_adj(
     const int64_t* ids, const uint8_t* orient,
     const int64_t* prefsum, int64_t n_paths,
     const int64_t* gbit,
-    const int64_t* row_off, const uint64_t* adj_key, const int64_t* adj_eid,
+    const int64_t* row_off, const uint64_t* adj_ent,
     uint32_t* edge_row)
 {
     for (int64_t p = 0; p < n_paths; p++) {
@@ -983,7 +989,7 @@ EXPORT int64_t pt_pack_edges_adj(
                 cv = (uint64_t)v; co2 = o2;
             }
             int64_t eid = edge_adj_get(
-                row_off, adj_key, adj_eid,
+                row_off, adj_ent,
                 (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
             if (!eid) return -(k + 1);
             edge_row[eid] |= bit;
