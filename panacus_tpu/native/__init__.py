@@ -158,7 +158,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64,        # prefsum, n_paths
         i64p,             # gbit (per path)
         i64p, u64p,       # row_off, adj_ent
-        u32p,             # edge_row
+        u32p, i64,        # edge_row, row_len
+        ctypes.c_int32,   # n_threads
     ]
     lib.pt_index_edges.restype = i64
     lib.pt_index_edges.argtypes = [
@@ -920,6 +921,7 @@ def pack_edges_adj(
     gbit: np.ndarray,
     edge_adj,
     edge_row: np.ndarray,
+    n_threads: int = 0,
 ) -> bool:
     """Fused edge lookup + group-bit OR into edge_row (uint32
     [n_items_pad]): the -c all hot path never materializes the edge-id
@@ -945,6 +947,8 @@ def pack_edges_adj(
         row_off.ctypes.data_as(i64p),
         adj_ent.ctypes.data_as(u64p),
         edge_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(len(edge_row)),
+        ctypes.c_int32(n_threads if n_threads > 0 else (os.cpu_count() or 1)),
     )
     if rc < 0:
         k = -rc - 1

@@ -11,9 +11,40 @@
 #include <stdint.h>
 #include <stddef.h>
 #include <string.h>
+#include <stdlib.h>
 #include <pthread.h>
 
 #define EXPORT __attribute__((visibility("default")))
+
+/* ---- SWAR digit parsing ---------------------------------------------------
+ *
+ * Node-id tokens are short decimal runs (1-8 digits cover graphs up to
+ * 10^8 nodes). Instead of a byte-at-a-time loop (~3 ops/digit with a
+ * branch each), load 8 bytes once and:
+ *   - detect the digit-run length with a SWAR range test (one ctz),
+ *   - convert all 8 "digits" with the classic 3-multiply reduction
+ *     (missing digits become trailing zeros of the high bytes, shifted
+ *     out before the reduction).
+ * Borrow analysis for the 0x30 subtraction: digit bytes sit at the LOW
+ * end and never generate borrows ('0'..'9' >= 0x30); junk bytes above
+ * them may borrow, but borrows only propagate upward and the shift
+ * drops those bytes. Tokens near the span end (< 16 bytes left) and
+ * 9+-digit tokens take the scalar path.
+ */
+
+#define SWAR_ZEROES 0x3030303030303030ULL
+
+/* Value of the 8 ASCII-adjusted digit bytes in `digits` (byte 0 = most
+ * significant digit). */
+static inline uint64_t swar8_value(uint64_t digits)
+{
+    const uint64_t mask = 0x000000FF000000FFULL;
+    const uint64_t mul1 = 0x000F424000000064ULL; /* 100 + (1000000 << 32) */
+    const uint64_t mul2 = 0x0000271000000001ULL; /* 1 + (10000 << 32) */
+    digits = (digits * 10) + (digits >> 8);
+    return (((digits & mask) * mul1) + (((digits >> 16) & mask) * mul2))
+        >> 32;
+}
 
 /* Parse comma-separated integer tokens with a +/- orientation suffix.
  * Returns the token count, or -1 if a non-digit is found where a digit is
@@ -24,6 +55,36 @@ EXPORT int64_t pt_parse_path_pm(
     int64_t n = 0;
     int64_t i = 0;
     while (i < len) {
+        if (i + 16 <= len) {
+            uint64_t raw;
+            memcpy(&raw, s + i, 8);
+            uint64_t t = raw ^ SWAR_ZEROES;
+            uint64_t nd = ((t + 0x7676767676767676ULL) | t)
+                & 0x8080808080808080ULL;
+            if (nd) {
+                int n_dig = __builtin_ctzll(nd) >> 3;
+                if (n_dig == 0) return -1;
+                uint64_t digits =
+                    (raw - SWAR_ZEROES) << ((8 - n_dig) * 8);
+                int64_t j = i + n_dig;
+                uint8_t o = s[j];
+                if (o == '+') {
+                    orient[n] = 0;
+                } else if (o == '-') {
+                    orient[n] = 1;
+                } else {
+                    return -1;
+                }
+                ids[n++] = (int64_t)swar8_value(digits);
+                i = j + 1;
+                if (i < len) {
+                    if (s[i] != ',') return -1;
+                    i++;
+                }
+                continue;
+            }
+            /* 8+ digits: scalar long-token path below */
+        }
         int64_t v = 0;
         int any = 0;
         while (i < len) {
@@ -72,6 +133,22 @@ EXPORT int64_t pt_parse_walk_lg(
             return -1;
         }
         i++;
+        if (i + 16 <= len) {
+            uint64_t raw;
+            memcpy(&raw, s + i, 8);
+            uint64_t t = raw ^ SWAR_ZEROES;
+            uint64_t nd = ((t + 0x7676767676767676ULL) | t)
+                & 0x8080808080808080ULL;
+            if (nd) {
+                int n_dig = __builtin_ctzll(nd) >> 3;
+                if (n_dig == 0) return -1;
+                uint64_t digits =
+                    (raw - SWAR_ZEROES) << ((8 - n_dig) * 8);
+                ids[n++] = (int64_t)swar8_value(digits);
+                i += n_dig;
+                continue;
+            }
+        }
         int64_t v = 0;
         int any = 0;
         while (i < len) {
@@ -964,22 +1041,46 @@ EXPORT int64_t pt_lookup_edges_adj(
  * the CSR adjacency, and ORs the path's group bit straight into the edge
  * membership row — the edge-id array is never materialized (the streamed
  * -c all path previously wrote + re-read it across two extra passes).
- * Single-threaded by design: it runs on the main thread while the batch
- * tokenizer owns the second core. Returns 0, or -(token_idx+1) for the
- * first unknown edge. */
-EXPORT int64_t pt_pack_edges_adj(
-    const int64_t* ids, const uint8_t* orient,
-    const int64_t* prefsum, int64_t n_paths,
-    const int64_t* gbit,
-    const int64_t* row_off, const uint64_t* adj_ent,
-    uint32_t* edge_row)
+ * Threaded: workers steal paths and OR into PRIVATE rows (thread 0 the
+ * output row), merged after the join — bitwise OR is idempotent and
+ * commutative, so the merge is exact and race-free.
+ * Returns 0, or -(token_idx+1) for the first unknown edge. */
+
+typedef struct {
+    const int64_t* ids;
+    const uint8_t* orient;
+    const int64_t* prefsum;
+    int64_t n_paths;
+    const int64_t* gbit;
+    const int64_t* row_off;
+    const uint64_t* adj_ent;
+    uint32_t* rows[8]; /* per-thread private rows; [0] = output */
+    int64_t row_len;
+    int64_t err;
+    int64_t next;
+    pthread_mutex_t lock;
+} pack_ctx;
+
+typedef struct {
+    pack_ctx* c;
+    int tid;
+} pack_arg;
+
+static void* pack_worker(void* argp)
 {
-    for (int64_t p = 0; p < n_paths; p++) {
-        uint32_t bit = (uint32_t)1 << gbit[p];
-        int64_t a = prefsum[p], b = prefsum[p + 1];
+    pack_arg* pa = (pack_arg*)argp;
+    pack_ctx* c = pa->c;
+    uint32_t* row = c->rows[pa->tid];
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t p = (c->next < c->n_paths && !c->err) ? c->next++ : -1;
+        pthread_mutex_unlock(&c->lock);
+        if (p < 0) return NULL;
+        uint32_t bit = (uint32_t)1 << c->gbit[p];
+        int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
         for (int64_t k = a; k + 1 < b; k++) {
-            int64_t u = ids[k], v = ids[k + 1];
-            uint8_t o1 = orient[k], o2 = orient[k + 1];
+            int64_t u = c->ids[k], v = c->ids[k + 1];
+            uint8_t o1 = c->orient[k], o2 = c->orient[k + 1];
             uint64_t cu, cv, co1, co2;
             if (u > v || (u == v && o1)) {
                 cu = (uint64_t)v; co1 = o2 ^ 1u;
@@ -989,13 +1090,55 @@ EXPORT int64_t pt_pack_edges_adj(
                 cv = (uint64_t)v; co2 = o2;
             }
             int64_t eid = edge_adj_get(
-                row_off, adj_ent,
+                c->row_off, c->adj_ent,
                 (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
-            if (!eid) return -(k + 1);
-            edge_row[eid] |= bit;
+            if (!eid) {
+                pthread_mutex_lock(&c->lock);
+                if (!c->err) c->err = -(k + 1);
+                pthread_mutex_unlock(&c->lock);
+                return NULL;
+            }
+            row[eid] |= bit;
         }
     }
-    return 0;
+}
+
+EXPORT int64_t pt_pack_edges_adj(
+    const int64_t* ids, const uint8_t* orient,
+    const int64_t* prefsum, int64_t n_paths,
+    const int64_t* gbit,
+    const int64_t* row_off, const uint64_t* adj_ent,
+    uint32_t* edge_row, int64_t row_len, int32_t n_threads)
+{
+    pack_ctx c = {
+        ids, orient, prefsum, n_paths, gbit, row_off, adj_ent,
+        {edge_row}, row_len, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    if (n_threads > (int32_t)n_paths) n_threads = (int32_t)n_paths;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    pack_arg args[8];
+    pthread_t tids[8];
+    int spawned = 0;
+    for (int t = 1; t < n_threads; t++) {
+        c.rows[t] = (uint32_t*)calloc((size_t)row_len, sizeof(uint32_t));
+        if (!c.rows[t]) break;
+        args[t].c = &c;
+        args[t].tid = t;
+        if (pthread_create(&tids[t], NULL, pack_worker, &args[t]) != 0) {
+            free(c.rows[t]);
+            break;
+        }
+        spawned++;
+    }
+    pack_arg a0 = {&c, 0};
+    pack_worker(&a0);
+    for (int t = 1; t <= spawned; t++) {
+        pthread_join(tids[t], NULL);
+        for (int64_t i = 0; i < row_len; i++) edge_row[i] |= c.rows[t][i];
+        free(c.rows[t]);
+    }
+    return c.err;
 }
 
 /* ---- membership-matrix builder --------------------------------------------
