@@ -241,7 +241,7 @@ def run_roofline():
     return bw, frac
 
 
-def _timed_stage(name, fn, size_mb, baseline, reps=3):
+def _timed_stage(name, fn, size_mb, baseline, reps=6):
     """Warm-up + best-of-reps wall clock; logs phases; returns best MB/s."""
     import gc
 
@@ -294,7 +294,7 @@ def run_inner() -> None:
                 lambda: run_histgrowth(CACHE, "node"),
                 size_mb,
                 BASELINE_NODE_MBPS,
-                reps=2,
+                reps=4,
             ),
             1,
         )
@@ -304,7 +304,7 @@ def run_inner() -> None:
                 lambda: run_histgrowth(CACHE, "edge"),
                 size_mb,
                 BASELINE_EDGE_MBPS,
-                reps=2,
+                reps=4,
             ),
             1,
         )
@@ -329,7 +329,7 @@ def run_inner() -> None:
                 lambda: run_histgrowth(gz, "node"),
                 size_mb,
                 BASELINE_NODE_MBPS,
-                reps=2,
+                reps=4,
             ),
             1,
         )
