@@ -32,6 +32,7 @@ interpret-only).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,67 @@ MAX_BINS_PAD = 2304  # VMEM budget for the [n_coarse, BLOCK_ITEMS] planes
 
 
 FINE = 32  # fine-level one-hot width (bin = 32 * coarse + fine)
+
+
+def _csa(a, b, c):
+    """Carry-save full adder on bit-planes: (sum, carry)."""
+    u = a ^ b
+    return u ^ c, (a & b) | (u & c)
+
+
+def _coverage_reduce(x):
+    """Column popcount-sum of [n_words, B] uint32 -> int32 [1, B].
+
+    Default: per-word popcount + add tree — measured FASTER than the
+    Harley-Seal carry-save alternative below on TPU v5e (299 vs 259 GB/s
+    end-to-end in the same session; the VPU lowers population_count
+    cheaply, so trading popcounts for ~5 bitwise ops/word loses).
+    PANACUS_TPU_COV=csa selects the carry-save tree (kept measurable:
+    both paths are interpret-tested against a numpy oracle in
+    tests/test_pallas_hist.py; the choice is read at trace time)."""
+    if os.environ.get("PANACUS_TPU_COV", "naive") != "csa":
+        return jnp.sum(
+            jax.lax.population_count(x).astype(jnp.int32),
+            axis=0,
+            keepdims=True,
+        )
+    n_words = x.shape[0]
+    pc = jax.lax.population_count
+
+    def w(i):
+        return x[i : i + 1]
+
+    zero = jnp.zeros_like(x[0:1])
+    ones = twos = fours = eights = zero
+    total = jnp.zeros((1, x.shape[1]), jnp.int32)
+    i = 0
+    while i + 16 <= n_words:
+        ones, twosA = _csa(ones, w(i), w(i + 1))
+        ones, twosB = _csa(ones, w(i + 2), w(i + 3))
+        twos, foursA = _csa(twos, twosA, twosB)
+        ones, twosA = _csa(ones, w(i + 4), w(i + 5))
+        ones, twosB = _csa(ones, w(i + 6), w(i + 7))
+        twos, foursB = _csa(twos, twosA, twosB)
+        fours, eightsA = _csa(fours, foursA, foursB)
+        ones, twosA = _csa(ones, w(i + 8), w(i + 9))
+        ones, twosB = _csa(ones, w(i + 10), w(i + 11))
+        twos, foursA = _csa(twos, twosA, twosB)
+        ones, twosA = _csa(ones, w(i + 12), w(i + 13))
+        ones, twosB = _csa(ones, w(i + 14), w(i + 15))
+        twos, foursB = _csa(twos, twosA, twosB)
+        fours, eightsB = _csa(fours, foursA, foursB)
+        eights, sixteens = _csa(eights, eightsA, eightsB)
+        total += pc(sixteens).astype(jnp.int32) << 4
+        i += 16
+    for j in range(i, n_words):
+        total += pc(w(j)).astype(jnp.int32)
+    total += (
+        pc(ones).astype(jnp.int32)
+        + (pc(twos).astype(jnp.int32) << 1)
+        + (pc(fours).astype(jnp.int32) << 2)
+        + (pc(eights).astype(jnp.int32) << 3)
+    )
+    return total
 
 
 def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
@@ -64,11 +126,7 @@ def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
         acc_lo[:] = jnp.zeros_like(acc_lo)
         acc_hi[:] = jnp.zeros_like(acc_hi)
 
-    cov = jnp.sum(
-        jax.lax.population_count(m_ref[:]).astype(jnp.int32),
-        axis=0,
-        keepdims=True,
-    )  # [1, B]
+    cov = _coverage_reduce(m_ref[:])  # [1, B]
     n_vecs = w_ref.shape[0]
     n_rows = 3 * n_vecs
     n_coarse = acc_lo.shape[0] // n_rows

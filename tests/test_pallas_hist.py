@@ -101,6 +101,20 @@ def test_pallas_hist_interpret_parity(n_words, n_items, n_bins, n_vecs, style):
     _run_case(n_words, n_items, n_bins, n_vecs, style, interpret=True)
 
 
+@pytest.mark.parametrize("cov_mode", ["csa", "naive"])
+def test_pallas_hist_coverage_modes(cov_mode, monkeypatch):
+    """Both coverage reductions (naive per-word popcount default and the
+    Harley-Seal carry-save tree, PANACUS_TPU_COV=csa) produce identical
+    histograms; the jit cache is cleared so the env choice retraces."""
+    monkeypatch.setenv("PANACUS_TPU_COV", cov_mode)
+    pk.fused_hist_tpu.clear_cache()
+    try:
+        _run_case(33, pk.BLOCK_ITEMS, 1026, 1, "all_limbs", interpret=True)
+        _run_case(2, pk.BLOCK_ITEMS, 66, 2, "limb0", interpret=True)
+    finally:
+        pk.fused_hist_tpu.clear_cache()
+
+
 def test_pallas_hist_matches_scatter_path():
     """The kernel and the engine's scatter formulation agree on the same
     inputs (the two production dispatch tiers must be interchangeable)."""
