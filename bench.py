@@ -182,6 +182,72 @@ def run_histgrowth(gfa: str, count: str):
     return hists, n_growth, (t_index, t_stream, t_tail, t_growth)
 
 
+def _xor_read_bw(M, K=16):
+    """Raw streaming ceiling of the SAME session: a pallas xor-reduce over
+    M (pure reads, no popcount/hist work). Session throughput over the
+    tunneled chip drifts ±25% minute to minute, so the meaningful
+    'speed-of-light fraction' is kernel/read measured back to back, not
+    kernel/nameplate."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(m_ref, out_ref, acc):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        x = m_ref[:]
+        r = x[0:1]
+        for i in range(1, x.shape[0]):
+            r = r ^ x[i : i + 1]
+        acc[:] ^= r
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _o():
+            out_ref[:] = jnp.sum(
+                acc[:].astype(jnp.int32), axis=1, keepdims=True
+            )
+
+    @jax.jit
+    def run(M):
+        n_words, n_items = M.shape
+        block = 16384
+        return pl.pallas_call(
+            kern,
+            grid=(n_items // block,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_words, block), lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((1, block), jnp.uint32)],
+        )(M)
+
+    @jax.jit
+    def chain(M):
+        def body(i, acc):
+            return acc + run(M).sum() + i * 0
+
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    np.asarray(chain(M))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(M))
+        times.append(time.perf_counter() - t0)
+    return M.nbytes / (sorted(times)[1] / K)
+
+
 def run_roofline():
     """Device-only popcount-hist throughput of the pallas streaming kernel
     on a >=1 GiB on-device matrix (no host transfer in the timed region):
@@ -233,12 +299,23 @@ def run_roofline():
     t = sorted(times)[1] / K
     bw = M.nbytes / t
     frac = bw / peak
+    try:
+        read_bw = _xor_read_bw(M)
+    except Exception as e:  # pragma: no cover - lowering failure
+        sys.stderr.write(f"[bench] xor read ceiling failed: {e}\n")
+        read_bw = None
     sys.stderr.write(
         f"[bench] roofline ({dev.device_kind}): {M.nbytes / 1e6:.0f} MB "
         f"weighted hist in {t * 1e3:.1f} ms/pass => {bw / 1e9:.0f} GB/s = "
-        f"{frac:.2f} of HBM peak ({peak / 1e9:.0f} GB/s)\n"
+        f"{frac:.2f} of HBM peak ({peak / 1e9:.0f} GB/s)"
+        + (
+            f"; raw xor read {read_bw / 1e9:.0f} GB/s => kernel at "
+            f"{bw / read_bw:.2f} of the session's streaming ceiling\n"
+            if read_bw
+            else "\n"
+        )
     )
-    return bw, frac
+    return bw, frac, read_bw
 
 
 def _timed_stage(name, fn, size_mb, baseline, reps=6):
@@ -339,10 +416,11 @@ def run_inner() -> None:
     # device roofline
     frac = None
     bw = None
+    read_bw = None
     try:
         r = run_roofline()
         if r is not None:
-            bw, frac = r
+            bw, frac, read_bw = r
     except Exception as e:
         sys.stderr.write(f"[bench] roofline failed: {e}\n")
 
@@ -360,6 +438,13 @@ def run_inner() -> None:
     if frac is not None:
         out["device_bw_frac"] = round(frac, 3)
         out["device_bw_gbps"] = round(bw / 1e9, 1)
+        if read_bw:
+            # fraction of the SAME session's measured raw-read ceiling —
+            # the honest speed-of-light number (tunnel session throughput
+            # drifts, so nameplate fractions conflate kernel quality with
+            # session luck)
+            out["device_read_gbps"] = round(read_bw / 1e9, 1)
+            out["device_frac_of_read"] = round(bw / read_bw, 3)
     print(json.dumps(out))
 
 
@@ -424,8 +509,14 @@ def main() -> None:
             parsed = json.loads(line)
             if "device_bw_frac" in parsed:
                 device_fields = {
-                    "device_bw_frac": parsed["device_bw_frac"],
-                    "device_bw_gbps": parsed["device_bw_gbps"],
+                    k: parsed[k]
+                    for k in (
+                        "device_bw_frac",
+                        "device_bw_gbps",
+                        "device_read_gbps",
+                        "device_frac_of_read",
+                    )
+                    if k in parsed
                 }
             attempt_summaries[name] = {
                 "value": parsed["value"],
