@@ -736,8 +736,15 @@ class CountingEngine:
         try:
             if self._pallas_hist_ok(n_bins) and w_max < (1 << 24):
                 # default TPU path: single streaming pass over M, one-hot
-                # matmul VMEM-resident (see pallas_kernels.fused_hist_tpu)
-                return pk.hist_pallas_host(self.M, [self._w_dev(w)], n_bins)[0]
+                # matmul VMEM-resident (see pallas_kernels.fused_hist_tpu);
+                # limb count sized from the actual weight range (all-ones
+                # node hists run 1 limb, bp node-length weights 2)
+                return pk.hist_pallas_host(
+                    self.M,
+                    [self._w_dev(w)],
+                    n_bins,
+                    n_limbs=pk._limbs_for(w_max),
+                )[0]
             mesh = item_mesh_of(self.M)
             if mesh is not None and total_w < (1 << 31):
                 # multi-device: shard-local scatter hists, host int64 merge
@@ -777,15 +784,19 @@ class CountingEngine:
             )
         ):
             vecs = []
+            n_limbs = 1
             for w in weight_list:
                 if w is None:
                     vecs.append(self._ones_w())
                 else:
                     wp = np.zeros(self.n_items_pad, dtype=np.int32)
                     wp[: self.n_items + 1] = w
+                    n_limbs = max(
+                        n_limbs, pk._limbs_for(int(wp.max(initial=0)))
+                    )
                     vecs.append(wp)
             try:
-                hs = pk.hist_pallas_host(self.M, vecs, n_bins)
+                hs = pk.hist_pallas_host(self.M, vecs, n_bins, n_limbs=n_limbs)
                 return [h[: self.n_groups + 1].astype(np.int64) for h in hs]
             except Exception as e:  # pragma: no cover - lowering fallback
                 log.debug("pallas hist_multi failed (%s); sequential", e)

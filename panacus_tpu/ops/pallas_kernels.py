@@ -105,9 +105,15 @@ def _coverage_reduce(x):
     return total
 
 
-def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
+def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi, n_limbs=3):
     """One grid step: M block [n_words, B] uint32 + int32 weight vectors
     [n_vecs, B] -> accumulate per-limb histograms into two int32 planes.
+
+    n_limbs is sized from the caller's actual weight range (1 for
+    all-ones node hists, 2 for typical bp node-length weights, 3 for the
+    full 24-bit range): the per-limb coarse select + bf16 cast is the
+    kernel's dominant VPU cost, so shedding unused limbs buys real
+    bandwidth.
 
     Layout: items ride the 128-lane (minor) dimension everywhere — the
     one-hot planes are [FINE, B] and [n_coarse, B], so no tiny minor dim
@@ -128,7 +134,7 @@ def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
 
     cov = _coverage_reduce(m_ref[:])  # [1, B]
     n_vecs = w_ref.shape[0]
-    n_rows = 3 * n_vecs
+    n_rows = n_limbs * n_vecs
     n_coarse = acc_lo.shape[0] // n_rows
     B = cov.shape[1]
     onehot_f = (
@@ -140,7 +146,7 @@ def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
     )  # [n_coarse, B] bool
     for v in range(n_vecs):
         wv = w_ref[v : v + 1, :]  # [1, B] int32
-        for j in range(3):
+        for j in range(n_limbs):
             # 8-bit limb (<= 255: bf16-exact), spread over coarse rows
             wl = (wv >> (8 * j)) & 0xFF
             wc = jnp.where(coarse_eq, wl, 0).astype(
@@ -163,9 +169,13 @@ def _fused_hist_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi):
         out_ref[nr : 2 * nr] = acc_hi[:]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fused_hist_tpu(
-    M: jax.Array, w_vecs: jax.Array, n_bins: int, interpret: bool = False
+    M: jax.Array,
+    w_vecs: jax.Array,
+    n_bins: int,
+    n_limbs: int = 3,
+    interpret: bool = False,
 ) -> jax.Array:
     """Multi-histogram streaming pallas pass (jitted; retrace only per
     (shape, n_bins)).
@@ -191,11 +201,12 @@ def fused_hist_tpu(
     assert w_vecs.shape == (n_vecs, n_items_pad)
     n_bins_pad = ((n_bins + 127) // 128) * 128
     assert n_bins_pad <= MAX_BINS_PAD
-    n_rows = 3 * n_vecs
+    assert 1 <= n_limbs <= 3
+    n_rows = n_limbs * n_vecs
     n_coarse = n_bins_pad // FINE
     grid = (n_items_pad // BLOCK_ITEMS,)
     return pl.pallas_call(
-        _fused_hist_kernel,
+        functools.partial(_fused_hist_kernel, n_limbs=n_limbs),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -225,7 +236,17 @@ def fused_hist_tpu(
     )(M, w_vecs.astype(jnp.int32))
 
 
-def hist_pallas_host(M, weight_vectors, n_bins: int, interpret: bool = False):
+def _limbs_for(w_max: int) -> int:
+    if w_max < (1 << 8):
+        return 1
+    if w_max < (1 << 16):
+        return 2
+    return 3
+
+
+def hist_pallas_host(
+    M, weight_vectors, n_bins: int, interpret: bool = False, n_limbs=None
+):
     """Driver for fused_hist_tpu: stack the int weight vectors (< 2^24,
     caller-guaranteed; each a host array padded to n_items or a device
     array already next to M, e.g. the engine's device-built ones), run the
@@ -238,16 +259,28 @@ def hist_pallas_host(M, weight_vectors, n_bins: int, interpret: bool = False):
     n_items = M.shape[1]
     dev = next(iter(M.devices()))
     vecs = []
+    infer = n_limbs is None
+    if infer:
+        n_limbs = 1
     for wv in weight_vectors:
         if isinstance(wv, jax.Array):
+            # device-resident vector: its range is unknown host-side, so
+            # the caller must state the limb count explicitly (the engine
+            # does — it knows w_max); inferring defaults to the safe 3
+            if infer:
+                n_limbs = 3
             vecs.append(wv.astype(jnp.int32))
             continue
         wi = np.zeros(n_items, dtype=np.int32)
         wi[: len(wv)] = wv
+        if infer:
+            n_limbs = max(n_limbs, _limbs_for(int(wi.max(initial=0))))
         vecs.append(jax.device_put(wi, dev))
     w = jnp.stack(vecs) if n_vecs > 1 else vecs[0].reshape(1, -1)
-    out = np.asarray(fused_hist_tpu(M, w, n_bins, interpret)).astype(np.int64)
-    n_rows = 3 * n_vecs
+    out = np.asarray(
+        fused_hist_tpu(M, w, n_bins, n_limbs, interpret)
+    ).astype(np.int64)
+    n_rows = n_limbs * n_vecs
     nr = out.shape[0] // 2
     # [n_rows*n_coarse, FINE] -> [n_rows, n_bins_pad] (row-major flatten
     # of the [n_coarse, FINE] planes IS bin order: bin = 32*coarse + fine)
@@ -256,7 +289,7 @@ def hist_pallas_host(M, weight_vectors, n_bins: int, interpret: bool = False):
     hists = []
     for v in range(n_vecs):
         h = np.zeros(lo.shape[1], dtype=np.int64)
-        for j in range(3):
+        for j in range(n_limbs):
             r = j * n_vecs + v
             h += (lo[r] + (hi[r] << 16)) << (8 * j)
         hists.append(h[:n_bins])

@@ -86,7 +86,9 @@ def _dist_env(port: int, pid: int, n_proc: int = 2):
     return env
 
 
-def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240):
+def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240, retries=1):
+    """Run the two coordinator-linked processes; retry once with a fresh
+    port on transient failures (port races / coordinator startup)."""
     procs = [
         subprocess.Popen(
             cmd,
@@ -99,6 +101,7 @@ def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240):
         for pid, cmd in enumerate([cmd0, cmd1])
     ]
     outs = []
+    timed_out = False
     try:
         for p in procs:
             out, err = p.communicate(timeout=timeout)
@@ -106,6 +109,13 @@ def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240):
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
+        timed_out = True
+    failed = timed_out or any(rc != 0 for rc, _, _ in outs)
+    if failed and retries > 0:
+        return _launch_pair(
+            cmd0, cmd1, _free_port(), cwd, timeout, retries - 1
+        )
+    if timed_out:
         pytest.skip("distributed runtime timed out on this box")
     for rc, out, err in outs:
         if rc != 0 and (

@@ -41,6 +41,9 @@ def _make_case(rng, n_words, n_items, weight_style):
         w = np.ones(n_items, dtype=np.int32)
     elif weight_style == "limb0":
         w = rng.integers(0, 256, n_items, dtype=np.int32)
+    elif weight_style == "two_limbs":
+        # typical bp node-length weights: < 2^16 -> the 2-limb kernel
+        w = rng.integers(0, 1 << 16, n_items, dtype=np.int32)
     elif weight_style == "all_limbs":
         # values spanning [0, 2^24): every 8-bit limb is exercised
         w = rng.integers(0, 1 << 24, n_items, dtype=np.int32)
@@ -67,6 +70,7 @@ CASES = [
     (2, pk.BLOCK_ITEMS, 66, 2, "all_limbs"),  # two weight vectors, one pass
     (33, 2 * pk.BLOCK_ITEMS, 1026, 1, "all_limbs"),  # many coarse rows
     (33, pk.BLOCK_ITEMS, 1026, 2, "limb0"),
+    (3, pk.BLOCK_ITEMS, 98, 2, "two_limbs"),  # 2-limb kernel (bp weights)
     (1, 2 * pk.BLOCK_ITEMS, 34, 1, "plane_boundary"),  # lo/hi plane carry
 ]
 
