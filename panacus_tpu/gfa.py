@@ -397,9 +397,14 @@ class GraphStorage:
             from concurrent.futures import ThreadPoolExecutor
 
             ex = ThreadPoolExecutor(max_workers=1)
-            self._edge_future = ex.submit(
-                self._index_edges, starts[is_l], ends[is_l]
-            )
+
+            def _index_job(ls, le):
+                from .native import install_thread_allocator
+
+                install_thread_allocator()  # context-local numpy handler
+                return self._index_edges(ls, le)
+
+            self._edge_future = ex.submit(_index_job, starts[is_l], ends[is_l])
             ex.shutdown(wait=False)
 
     def _ensure_edges(self) -> None:

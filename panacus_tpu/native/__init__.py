@@ -271,6 +271,22 @@ def install_hugepage_allocator() -> bool:
         return False
 
 
+def install_thread_allocator() -> None:
+    """Install the hugepage numpy allocator in the CURRENT thread.
+
+    numpy's PyDataMem_SetHandler is context-local (a contextvar since
+    numpy 1.22): worker threads start from a fresh context and fall back
+    to the default malloc-based allocator, whose non-main glibc arenas
+    return freed pages to the OS — on a ballooned VM every repeat pass
+    then re-faults its large arrays (~0.3 ms/4 KiB page). Call this at
+    the top of any thread that allocates large numpy arrays."""
+    if _NPALLOC is not None:
+        try:
+            _NPALLOC.install()
+        except Exception:  # pragma: no cover
+            pass
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if not _TRIED:

@@ -110,9 +110,18 @@ static void* big_alloc_ex(size_t size, int* from_cache)
 {
     size_t rounded = (size + HUGE_SZ - 1) & ~(HUGE_SZ - 1);
     pthread_mutex_lock(&lock);
+    /* Exact size first: recurring passes allocate the same size set, and
+     * letting a smaller request "steal" a larger block (best-fit within
+     * 2x) forces the larger size to fresh-mmap — and re-fault — every
+     * pass on a ballooned VM. The 2x window is only a fallback for sizes
+     * the cache has never seen at exact granularity. */
     int best = -1;
     for (int i = 0; i < cache_n; i++) {
-        if (cache[i].size >= rounded &&
+        if (cache[i].size == rounded) {
+            best = i;
+            break;
+        }
+        if (cache[i].size > rounded &&
             cache[i].size <= rounded * 2 &&
             (best < 0 || cache[i].size < cache[best].size))
             best = i;

@@ -525,11 +525,22 @@ class MembershipStream:
                 self.engine.n_words * self.engine.n_items_pad * 4
             )
             self.engine._dev = self._dev
-        # warm the per-shape transfer path (first device_put of a new shape
-        # pays a one-time setup cost on tunneled backends); fire and forget
-        self._warm = self._put(
-            np.zeros(self.engine.n_items_pad, dtype=np.uint32)
+        # host placement (pure-CPU run, or the slow-link policy above chose
+        # the host backend): per-row device_put buys no overlap — the
+        # "transfer" is a same-memory copy that queues behind the tokenizer
+        # threads and stalls finalize. Keep rows as numpy and hand XLA:CPU
+        # the stacked matrix in one zero-copy device_put at finalize.
+        self._host_np = self._sharding is None and (
+            self._dev.platform == "cpu"
+            if self._dev is not None
+            else jax.devices()[0].platform == "cpu"
         )
+        if not self._host_np:
+            # warm the per-shape transfer path (first device_put of a new
+            # shape pays a one-time setup cost on tunneled backends)
+            self._warm = self._put(
+                np.zeros(self.engine.n_items_pad, dtype=np.uint32)
+            )
 
     def _put(self, row: np.ndarray):
         if self._sharding is not None:
@@ -543,9 +554,28 @@ class MembershipStream:
         Issued asynchronously; do not mutate row afterwards."""
         assert 0 <= word < self.engine.n_words
         assert word not in self._rows, f"word {word} fed twice"
-        self._rows[word] = self._put(row)
+        self._rows[word] = row if self._host_np else self._put(row)
 
     def finalize(self) -> CountingEngine:
+        if self._host_np:
+            zrow = None
+            rows = []
+            for w in range(self.engine.n_words):
+                r = self._rows.get(w)
+                if r is None:
+                    if zrow is None:
+                        zrow = np.zeros(
+                            self.engine.n_items_pad, dtype=np.uint32
+                        )
+                    r = zrow
+                rows.append(r)
+            Mh = (
+                rows[0].reshape(1, -1)
+                if len(rows) == 1
+                else np.stack(rows)
+            )
+            self.engine.M = self._put(Mh)
+            return self.engine
         zeros = None
         rows = []
         for w in range(self.engine.n_words):

@@ -63,9 +63,14 @@ def configure_host_memory() -> None:
         M_TRIM_THRESHOLD = -1
         M_MMAP_THRESHOLD = -3
         M_MMAP_MAX = -4
+        M_ARENA_MAX = -8
         libc.mallopt(M_MMAP_MAX, 0)
         libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
         libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+        # one arena: worker-thread frees land back on the main heap where
+        # the next pass's allocations (any thread) can reuse the pages —
+        # non-main arenas trim to the OS and re-fault on a ballooned VM
+        libc.mallopt(M_ARENA_MAX, 1)
     except Exception as e:  # pragma: no cover
         log.debug("mallopt tuning unavailable: %s", e)
     try:

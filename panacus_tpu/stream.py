@@ -275,107 +275,133 @@ def streamed_total_abaci(
         n_groups,
         count_types,
     )
+    # Pipeline only when there is a device upload to hide: with host-placed
+    # rows (pure-CPU run or the slow-link policy) feed() is a pointer store,
+    # so the tokenize/pack overlap buys nothing and the extra worker thread
+    # oversubscribes the host cores the threaded C stages already use
+    # (measured 2-3x slower on a 2-core box). Serial mode runs each C stage
+    # at full thread width instead.
+    serial = all(
+        s is None or s._host_np for s in (node_stream, edge_stream)
+    )
     # pipeline split: the worker thread tokenizes slab i+1 (threaded C,
     # GIL-released); in fused-edge mode it ALSO packs slab i's node row, so
     # the main thread's work is exactly the fused edge lookup+pack — on a
     # 2-core box this balances the two threads (~equal core-seconds each)
     worker_packs_node = need_node and need_edge and edge_fused
 
-    def work(next_pids, cur_slab, cur_batch):
-        nxt = (
-            graph.all_path_item_runs(next_pids)
-            if next_pids is not None
-            else True
-        )
-        row = None
-        if (
-            worker_packs_node
-            and cur_slab is not None
-            and cur_slab.word >= 0
-            and cur_batch is not None
-        ):
-            row = _pack_row(
-                cur_batch[0],
-                cur_batch[2],
-                cur_slab.gidx_rel,
-                node_stream.engine.n_items_pad,
-            )
-        return nxt, row
+    def consume_slab(slab, batch, pack_node):
+        """Table bookkeeping + row pack/feed for one tokenized slab.
+        pack_node=False when the pipelined worker packs/feeds the node row
+        (it arrives one iteration later as prev_row)."""
+        ids, orient, prefsum, bp = batch
+        if need_node:
+            # paths_len parity with the classic itemizer, which fills it
+            # only for node/bp runs (itemize.py zero-copy shortcut)
+            counts = np.diff(prefsum)
+            segs = graph.path_segments
+            for k, pid in enumerate(slab.path_ids):
+                paths_len[segs[int(pid)]] = (int(counts[k]), int(bp[k]))
+            node_table.add_slab(slab.path_ids, ids, prefsum)
+            if pack_node and slab.word >= 0:
+                node_stream.feed(
+                    slab.word,
+                    _pack_row(
+                        ids,
+                        prefsum,
+                        slab.gidx_rel,
+                        node_stream.engine.n_items_pad,
+                    ),
+                )
+        if need_edge:
+            if edge_fused:
+                # fused path: lookup + group-bit OR in one C pass, no
+                # edge-id CSR; the LazyEdgeTable keeps node-CSR refs
+                # for on-demand export
+                edge_table.add_slab(slab.path_ids, ids, orient, prefsum)
+                if slab.word >= 0:
+                    from .native import pack_edges_adj
 
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(work, slabs[0].path_ids, None, None)
-        prev_slab = None
-        for i, slab in enumerate(slabs):
-            batch, prev_row = fut.result()
-            if batch is None:  # tokenizer bailed: let the classic path run
-                return None
-            if prev_row is not None:
-                node_stream.feed(prev_slab.word, prev_row)
-            next_pids = (
-                slabs[i + 1].path_ids if i + 1 < len(slabs) else None
-            )
-            fut = ex.submit(work, next_pids, slab, batch)
-            prev_slab = slab
-            ids, orient, prefsum, bp = batch
-            if need_node:
-                # paths_len parity with the classic itemizer, which fills it
-                # only for node/bp runs (itemize.py zero-copy shortcut)
-                counts = np.diff(prefsum)
-                segs = graph.path_segments
-                for k, pid in enumerate(slab.path_ids):
-                    paths_len[segs[int(pid)]] = (int(counts[k]), int(bp[k]))
-                node_table.add_slab(slab.path_ids, ids, prefsum)
-                if not worker_packs_node and slab.word >= 0:
-                    node_stream.feed(
+                    row = np.zeros(
+                        (1, edge_stream.engine.n_items_pad),
+                        dtype=np.uint32,
+                    )
+                    pack_edges_adj(
+                        ids,
+                        orient,
+                        prefsum,
+                        slab.gidx_rel,
+                        graph.edge_adj(),
+                        row[0],
+                    )
+                    row[0, 0] = 0
+                    edge_stream.feed(slab.word, row[0])
+            else:
+                eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
+                edge_table.add_slab(slab.path_ids, eids, e_pref)
+                if slab.word >= 0:
+                    edge_stream.feed(
                         slab.word,
                         _pack_row(
-                            ids,
-                            prefsum,
+                            eids,
+                            e_pref,
                             slab.gidx_rel,
-                            node_stream.engine.n_items_pad,
+                            edge_stream.engine.n_items_pad,
                         ),
                     )
-            if need_edge:
-                if edge_fused:
-                    # fused path: lookup + group-bit OR in one C pass, no
-                    # edge-id CSR; the LazyEdgeTable keeps node-CSR refs
-                    # for on-demand export
-                    edge_table.add_slab(slab.path_ids, ids, orient, prefsum)
-                    if slab.word >= 0:
-                        from .native import pack_edges_adj
 
-                        row = np.zeros(
-                            (1, edge_stream.engine.n_items_pad),
-                            dtype=np.uint32,
-                        )
-                        pack_edges_adj(
-                            ids,
-                            orient,
-                            prefsum,
-                            slab.gidx_rel,
-                            graph.edge_adj(),
-                            row[0],
-                        )
-                        row[0, 0] = 0
-                        edge_stream.feed(slab.word, row[0])
-                else:
-                    eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
-                    edge_table.add_slab(slab.path_ids, eids, e_pref)
-                    if slab.word >= 0:
-                        edge_stream.feed(
-                            slab.word,
-                            _pack_row(
-                                eids,
-                                e_pref,
-                                slab.gidx_rel,
-                                edge_stream.engine.n_items_pad,
-                            ),
-                        )
+    if serial:
+        for slab in slabs:
+            batch = graph.all_path_item_runs(slab.path_ids)
+            if batch is None:  # tokenizer bailed: let the classic path run
+                return None
+            consume_slab(slab, batch, True)
+    else:
 
-        # drain: the last worker job still carries the final slab's node row
-        _, last_row = fut.result()
-        if last_row is not None:
-            node_stream.feed(prev_slab.word, last_row)
+        def work(next_pids, cur_slab, cur_batch):
+            from .native import install_thread_allocator
+
+            install_thread_allocator()  # context-local numpy handler
+            nxt = (
+                graph.all_path_item_runs(next_pids)
+                if next_pids is not None
+                else True
+            )
+            row = None
+            if (
+                worker_packs_node
+                and cur_slab is not None
+                and cur_slab.word >= 0
+                and cur_batch is not None
+            ):
+                row = _pack_row(
+                    cur_batch[0],
+                    cur_batch[2],
+                    cur_slab.gidx_rel,
+                    node_stream.engine.n_items_pad,
+                )
+            return nxt, row
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(work, slabs[0].path_ids, None, None)
+            prev_slab = None
+            for i, slab in enumerate(slabs):
+                batch, prev_row = fut.result()
+                if batch is None:  # tokenizer bailed: classic path runs
+                    return None
+                if prev_row is not None:
+                    node_stream.feed(prev_slab.word, prev_row)
+                next_pids = (
+                    slabs[i + 1].path_ids if i + 1 < len(slabs) else None
+                )
+                fut = ex.submit(work, next_pids, slab, batch)
+                prev_slab = slab
+                consume_slab(slab, batch, not worker_packs_node)
+
+            # drain: the last worker job still carries the final node row
+            _, last_row = fut.result()
+            if last_row is not None:
+                node_stream.feed(prev_slab.word, last_row)
 
     node_engine = node_stream.finalize() if need_node else None
     edge_engine = edge_stream.finalize() if need_edge else None
