@@ -498,6 +498,21 @@ def _items_sharding():
     return NamedSharding(mesh, P("items"))
 
 
+def host_row_placement(n_items_hint: int, n_groups: int) -> bool:
+    """Would membership rows for a matrix of roughly this size stay on the
+    host XLA backend? Mirrors MembershipStream's placement decision without
+    creating an engine — callers use it to pick an execution schedule before
+    item counts that require joining async index work are known."""
+    if _items_sharding() is not None:
+        return False
+    n_words = max((n_groups + 31) // 32, 1)
+    n_pad = _round_up(n_items_hint + 1, ITEM_ALIGN)
+    dev = count_device(n_words * n_pad * 4)
+    if dev is not None:
+        return dev.platform == "cpu"
+    return jax.devices()[0].platform == "cpu"
+
+
 class MembershipStream:
     """Asynchronous membership-matrix builder: accepts one packed uint32 row
     per 32-group word as the host finishes tokenizing that word's paths, and

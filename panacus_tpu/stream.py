@@ -248,25 +248,10 @@ def streamed_total_abaci(
         if need_node
         else None
     )
-    edge_stream = (
-        MembershipStream(graph.number_of_items(CountType.EDGE), n_groups)
-        if need_edge
-        else None
-    )
     node_table = SlabbedItemTable(n_paths) if need_node else None
+    edge_stream = None
     edge_table = None
     edge_fused = False
-    if need_edge:
-        from .native import get_lib
-
-        edge_fused = (
-            get_lib() is not None and graph.edge_adj() is not None
-        )
-        edge_table = (
-            LazyEdgeTable(graph, n_paths)
-            if edge_fused
-            else SlabbedItemTable(n_paths)
-        )
     paths_len: Dict[PathSegment, Tuple[int, int]] = {}
 
     log.info(
@@ -280,83 +265,121 @@ def streamed_total_abaci(
     # so the tokenize/pack overlap buys nothing and the extra worker thread
     # oversubscribes the host cores the threaded C stages already use
     # (measured 2-3x slower on a 2-core box). Serial mode runs each C stage
-    # at full thread width instead.
-    serial = all(
-        s is None or s._host_np for s in (node_stream, edge_stream)
-    )
-    # pipeline split: the worker thread tokenizes slab i+1 (threaded C,
-    # GIL-released); in fused-edge mode it ALSO packs slab i's node row, so
-    # the main thread's work is exactly the fused edge lookup+pack — on a
-    # 2-core box this balances the two threads (~equal core-seconds each)
-    worker_packs_node = need_node and need_edge and edge_fused
+    # at full thread width instead. The decision must not join the async
+    # edge index, so edge-only runs probe with the node-item matrix size (a
+    # lower bound — underestimating can only fall back to the pipeline).
+    if need_node:
+        serial = node_stream._host_np
+    else:
+        from .ops.engine import host_row_placement
 
-    def consume_slab(slab, batch, pack_node):
-        """Table bookkeeping + row pack/feed for one tokenized slab.
+        serial = host_row_placement(
+            graph.number_of_items(CountType.NODE), n_groups
+        )
+
+    def make_edge_stream():
+        """Create the edge stream/table; joins the async L-line indexer."""
+        nonlocal edge_stream, edge_table, edge_fused
+        from .native import get_lib
+
+        edge_stream = MembershipStream(
+            graph.number_of_items(CountType.EDGE), n_groups
+        )
+        edge_fused = get_lib() is not None and graph.edge_adj() is not None
+        edge_table = (
+            LazyEdgeTable(graph, n_paths)
+            if edge_fused
+            else SlabbedItemTable(n_paths)
+        )
+
+    def consume_node(slab, batch, pack_node):
+        """Node-table bookkeeping + node row pack/feed for one slab.
         pack_node=False when the pipelined worker packs/feeds the node row
         (it arrives one iteration later as prev_row)."""
         ids, orient, prefsum, bp = batch
-        if need_node:
-            # paths_len parity with the classic itemizer, which fills it
-            # only for node/bp runs (itemize.py zero-copy shortcut)
-            counts = np.diff(prefsum)
-            segs = graph.path_segments
-            for k, pid in enumerate(slab.path_ids):
-                paths_len[segs[int(pid)]] = (int(counts[k]), int(bp[k]))
-            node_table.add_slab(slab.path_ids, ids, prefsum)
-            if pack_node and slab.word >= 0:
-                node_stream.feed(
+        # paths_len parity with the classic itemizer, which fills it
+        # only for node/bp runs (itemize.py zero-copy shortcut)
+        counts = np.diff(prefsum)
+        segs = graph.path_segments
+        for k, pid in enumerate(slab.path_ids):
+            paths_len[segs[int(pid)]] = (int(counts[k]), int(bp[k]))
+        node_table.add_slab(slab.path_ids, ids, prefsum)
+        if pack_node and slab.word >= 0:
+            node_stream.feed(
+                slab.word,
+                _pack_row(
+                    ids,
+                    prefsum,
+                    slab.gidx_rel,
+                    node_stream.engine.n_items_pad,
+                ),
+            )
+
+    def consume_edge(slab, batch):
+        """Edge-table bookkeeping + edge row pack/feed for one slab."""
+        ids, orient, prefsum, bp = batch
+        if edge_fused:
+            # fused path: lookup + group-bit OR in one C pass, no
+            # edge-id CSR; the LazyEdgeTable keeps node-CSR refs
+            # for on-demand export
+            edge_table.add_slab(slab.path_ids, ids, orient, prefsum)
+            if slab.word >= 0:
+                from .native import pack_edges_adj
+
+                row = np.zeros(
+                    (1, edge_stream.engine.n_items_pad),
+                    dtype=np.uint32,
+                )
+                pack_edges_adj(
+                    ids,
+                    orient,
+                    prefsum,
+                    slab.gidx_rel,
+                    graph.edge_adj(),
+                    row[0],
+                )
+                row[0, 0] = 0
+                edge_stream.feed(slab.word, row[0])
+        else:
+            eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
+            edge_table.add_slab(slab.path_ids, eids, e_pref)
+            if slab.word >= 0:
+                edge_stream.feed(
                     slab.word,
                     _pack_row(
-                        ids,
-                        prefsum,
+                        eids,
+                        e_pref,
                         slab.gidx_rel,
-                        node_stream.engine.n_items_pad,
+                        edge_stream.engine.n_items_pad,
                     ),
                 )
-        if need_edge:
-            if edge_fused:
-                # fused path: lookup + group-bit OR in one C pass, no
-                # edge-id CSR; the LazyEdgeTable keeps node-CSR refs
-                # for on-demand export
-                edge_table.add_slab(slab.path_ids, ids, orient, prefsum)
-                if slab.word >= 0:
-                    from .native import pack_edges_adj
-
-                    row = np.zeros(
-                        (1, edge_stream.engine.n_items_pad),
-                        dtype=np.uint32,
-                    )
-                    pack_edges_adj(
-                        ids,
-                        orient,
-                        prefsum,
-                        slab.gidx_rel,
-                        graph.edge_adj(),
-                        row[0],
-                    )
-                    row[0, 0] = 0
-                    edge_stream.feed(slab.word, row[0])
-            else:
-                eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
-                edge_table.add_slab(slab.path_ids, eids, e_pref)
-                if slab.word >= 0:
-                    edge_stream.feed(
-                        slab.word,
-                        _pack_row(
-                            eids,
-                            e_pref,
-                            slab.gidx_rel,
-                            edge_stream.engine.n_items_pad,
-                        ),
-                    )
 
     if serial:
+        # Phase A tokenizes and packs node rows while the async L-line edge
+        # indexer still runs; phase B joins it only once tokenization can no
+        # longer fill the wait, then packs the edge rows from the stashed
+        # node CSRs.
+        batches = []
         for slab in slabs:
             batch = graph.all_path_item_runs(slab.path_ids)
             if batch is None:  # tokenizer bailed: let the classic path run
                 return None
-            consume_slab(slab, batch, True)
+            if need_node:
+                consume_node(slab, batch, True)
+            if need_edge:
+                batches.append(batch)
+        if need_edge:
+            make_edge_stream()
+            for slab, batch in zip(slabs, batches):
+                consume_edge(slab, batch)
     else:
+        if need_edge:
+            make_edge_stream()
+        # pipeline split: the worker thread tokenizes slab i+1 (threaded C,
+        # GIL-released); in fused-edge mode it ALSO packs slab i's node
+        # row, so the main thread's work is exactly the fused edge
+        # lookup+pack — this balances the two threads on small hosts
+        worker_packs_node = need_node and need_edge and edge_fused
 
         def work(next_pids, cur_slab, cur_batch):
             from .native import install_thread_allocator
@@ -396,7 +419,10 @@ def streamed_total_abaci(
                 )
                 fut = ex.submit(work, next_pids, slab, batch)
                 prev_slab = slab
-                consume_slab(slab, batch, not worker_packs_node)
+                if need_node:
+                    consume_node(slab, batch, not worker_packs_node)
+                if need_edge:
+                    consume_edge(slab, batch)
 
             # drain: the last worker job still carries the final node row
             _, last_row = fut.result()
