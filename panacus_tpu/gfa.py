@@ -332,7 +332,11 @@ class GraphStorage:
         from .native import scan_lines
         from .runtime import effective_threads
 
-        scanned = scan_lines(buf, effective_threads())
+        # the global tab index is only needed by the numpy fallback
+        # parsers; native field parsers (pt_s_spans / pt_index_edges /
+        # pt_tokenize) re-scan their own lines, so skip its ~8 bytes of
+        # writes per tab and materialize it lazily (_tabs property)
+        scanned = scan_lines(buf, effective_threads(), want_tabs=False)
         if scanned is not None:
             nl, tabs = scanned
         else:
@@ -350,7 +354,7 @@ class GraphStorage:
         first = buf[starts]
         self._line_starts = starts
         self._line_ends = ends
-        self._tabs = tabs
+        self._tabs_arr = tabs
 
         is_s = first == ord("S")
         is_p = first == ord("P")
@@ -406,6 +410,25 @@ class GraphStorage:
 
             self._edge_future = ex.submit(_index_job, starts[is_l], ends[is_l])
             ex.shutdown(wait=False)
+
+    @property
+    def _tabs(self) -> np.ndarray:
+        """Global tab-position index, materialized on first use — only the
+        numpy fallback parsers read it; the native field parsers re-scan
+        their own lines."""
+        if self._tabs_arr is None:
+            from .native import scan_lines
+            from .runtime import effective_threads
+
+            scanned = scan_lines(
+                self._buf, effective_threads(), want_tabs=True
+            )
+            self._tabs_arr = (
+                scanned[1]
+                if scanned is not None
+                else np.flatnonzero(self._buf == 9)
+            )
+        return self._tabs_arr
 
     def _ensure_edges(self) -> None:
         f = self._edge_future
@@ -474,23 +497,30 @@ class GraphStorage:
     # -- nodes ----------------------------------------------------------------
 
     def _index_nodes(self, s_starts: np.ndarray, s_ends: np.ndarray) -> None:
-        tabs = self._tabs
+        from .native import s_spans
+        from .runtime import effective_threads
+
         n = len(s_starts)
-        # first tab of an S line is at s+1; name spans (s+2, t2)
-        t2_idx = np.searchsorted(tabs, s_starts + 2)
-        t2 = tabs[t2_idx] if n else np.zeros(0, dtype=np.int64)
-        # sequence ends at following tab (optional fields) or line end
-        t3_idx = t2_idx + 1
-        t3 = np.where(
-            (t3_idx < len(tabs)) & (np.take(tabs, np.minimum(t3_idx, len(tabs) - 1)) < s_ends),
-            np.take(tabs, np.minimum(t3_idx, len(tabs) - 1)),
-            s_ends,
-        ) if n else np.zeros(0, dtype=np.int64)
         name_starts = s_starts + 2
-        name_ends = t2
-        seq_lens = (t3 - (t2 + 1)).astype(np.int64)
-        if (seq_lens < 0).any():
-            raise ValueError("malformed S line in GFA")
+        res = s_spans(self._buf, s_starts, s_ends, effective_threads())
+        if res is not None:
+            name_ends, seq_lens = res
+        else:
+            tabs = self._tabs
+            # first tab of an S line is at s+1; name spans (s+2, t2)
+            t2_idx = np.searchsorted(tabs, s_starts + 2)
+            t2 = tabs[t2_idx] if n else np.zeros(0, dtype=np.int64)
+            # sequence ends at following tab (optional fields) or line end
+            t3_idx = t2_idx + 1
+            t3 = np.where(
+                (t3_idx < len(tabs)) & (np.take(tabs, np.minimum(t3_idx, len(tabs) - 1)) < s_ends),
+                np.take(tabs, np.minimum(t3_idx, len(tabs) - 1)),
+                s_ends,
+            ) if n else np.zeros(0, dtype=np.int64)
+            name_ends = t2
+            seq_lens = (t3 - (t2 + 1)).astype(np.int64)
+            if (seq_lens < 0).any():
+                raise ValueError("malformed S line in GFA")
 
         self.node_count = n
         self.node_lens = np.zeros(n + 1, dtype=np.uint32)
@@ -580,25 +610,34 @@ class GraphStorage:
     # -- paths ----------------------------------------------------------------
 
     def _index_paths(self) -> None:
+        # per-line memchr finds (data.find is C-speed for mmap/bytes);
+        # P/W line counts are tiny, and this never touches the global tab
+        # index — only the P-line t3 find crosses the (large) seq field
         data = self._data
-        tabs = self._tabs
+
+        def tab_after(pos: int, end: int) -> int:
+            t = data.find(b"\t", pos, end)
+            return t if t >= 0 else end
+
         for k in range(len(self._pw_starts)):
             s, e = int(self._pw_starts[k]), int(self._pw_ends[k])
-            ti = np.searchsorted(tabs, s)
             if self._pw_is_walk[k]:
                 # W \t sample \t hap \t seqid \t start \t end \t walk
-                t = tabs[ti : ti + 6]
-                cols = [data[int(t[j]) + 1 : int(t[j + 1])].decode() for j in range(5)]
+                t = []
+                pos = s
+                for _ in range(6):
+                    pos = tab_after(pos + 1, e)
+                    t.append(pos)
+                cols = [data[t[j] + 1 : t[j + 1]].decode() for j in range(5)]
                 seq_start = None if cols[3] == "*" else int(cols[3])
                 seq_end = None if cols[4] == "*" else int(cols[4])
                 seg = PathSegment.new(cols[0], cols[1], cols[2], seq_start, seq_end)
-                self._pw_seq_spans.append((int(t[5]) + 1, e))
+                self._pw_seq_spans.append((t[5] + 1, e))
             else:
                 # P \t name \t seq \t overlaps
-                t1 = int(tabs[ti])
-                t2 = int(tabs[ti + 1])
-                t3i = ti + 2
-                t3 = int(tabs[t3i]) if t3i < len(tabs) and tabs[t3i] < e else e
+                t1 = tab_after(s, e)
+                t2 = tab_after(t1 + 1, e)
+                t3 = tab_after(t2 + 1, e)
                 name = data[t1 + 1 : t2].decode()
                 seg = PathSegment.from_str(name)
                 self._pw_seq_spans.append((t2 + 1, t3))
@@ -721,7 +760,6 @@ class GraphStorage:
         (reference: src/graph_broker/graph.rs:276-306, Edge::canonical
         graph.rs:142-148). Edge ids are assigned in first-occurrence order."""
         buf = self._buf
-        tabs = self._tabs
         n = len(l_starts)
         if n == 0:
             self._edge_count = 0
@@ -760,6 +798,7 @@ class GraphStorage:
                     log.warning("%d duplicated edges in GFA", n_dup)
                 log.info("found: %d edges", self._edge_count)
                 return
+        tabs = self._tabs  # numpy fallback: materializes the lazy index
         ti = np.searchsorted(tabs, l_starts)
         t1 = tabs[ti]
         t2 = tabs[ti + 1]

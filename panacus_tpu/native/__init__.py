@@ -121,6 +121,10 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_scan_fill.argtypes = [
         u8p, i64, i64, i64p, i64p, i64p, i64p, ctypes.c_int32,
     ]
+    lib.pt_s_spans.restype = i64
+    lib.pt_s_spans.argtypes = [
+        u8p, i64p, i64p, i64, i64p, i64p, ctypes.c_int32,
+    ]
     lib.pt_count_tokens.restype = i64
     lib.pt_count_tokens.argtypes = [
         u8p, i64p, i64p, u8p, i64, i64p, i64p, ctypes.c_int32,
@@ -581,9 +585,12 @@ def interval_walk(
     )
 
 
-def scan_lines(buf: np.ndarray, n_threads: int = 0):
-    """One threaded pass over the GFA buffer collecting newline and tab
-    positions. Returns (nl int64[], tabs int64[]) or None (no native lib)."""
+def scan_lines(buf: np.ndarray, n_threads: int = 0, want_tabs: bool = True):
+    """One threaded pass over the GFA buffer collecting newline (and,
+    when want_tabs, tab) positions. Returns (nl int64[], tabs int64[] or
+    None) or None (no native lib). want_tabs=False skips the global tab
+    index — callers whose field parsers re-scan their own lines
+    (pt_s_spans / pt_index_edges / pt_tokenize) never need it."""
     lib = get_lib()
     if lib is None:
         return None
@@ -602,22 +609,69 @@ def scan_lines(buf: np.ndarray, n_threads: int = 0):
     )
     nl_counts, tab_counts = counts[:n_ranges], counts[n_ranges:]
     nl_off = np.zeros(n_ranges, dtype=np.int64)
-    tab_off = np.zeros(n_ranges, dtype=np.int64)
     np.cumsum(nl_counts[:-1], out=nl_off[1:])
-    np.cumsum(tab_counts[:-1], out=tab_off[1:])
     nl = np.empty(int(nl_counts.sum()), dtype=np.int64)
-    tabs = np.empty(int(tab_counts.sum()), dtype=np.int64)
+    if want_tabs:
+        tab_off = np.zeros(n_ranges, dtype=np.int64)
+        np.cumsum(tab_counts[:-1], out=tab_off[1:])
+        tabs = np.empty(int(tab_counts.sum()), dtype=np.int64)
+        lib.pt_scan_fill(
+            _as_u8p(buf),
+            ctypes.c_int64(n),
+            ctypes.c_int64(n_ranges),
+            nl_off.ctypes.data_as(i64p),
+            tab_off.ctypes.data_as(i64p),
+            nl.ctypes.data_as(i64p),
+            tabs.ctypes.data_as(i64p),
+            ctypes.c_int32(n_threads),
+        )
+        return nl, tabs
     lib.pt_scan_fill(
         _as_u8p(buf),
         ctypes.c_int64(n),
         ctypes.c_int64(n_ranges),
         nl_off.ctypes.data_as(i64p),
-        tab_off.ctypes.data_as(i64p),
+        None,
         nl.ctypes.data_as(i64p),
-        tabs.ctypes.data_as(i64p),
+        None,
         ctypes.c_int32(n_threads),
     )
-    return nl, tabs
+    return nl, None
+
+
+def s_spans(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    n_threads: int = 0,
+):
+    """Per-S-line (name_end, seq_len) without the global tab index.
+    Returns (name_ends int64[], seq_lens int64[]) or None (no native
+    lib); raises ValueError on a malformed S line."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(starts)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    name_ends = np.empty(n, dtype=np.int64)
+    seq_lens = np.empty(n, dtype=np.int64)
+    if n:
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        rc = lib.pt_s_spans(
+            _as_u8p(buf),
+            s.ctypes.data_as(i64p),
+            e.ctypes.data_as(i64p),
+            ctypes.c_int64(n),
+            name_ends.ctypes.data_as(i64p),
+            seq_lens.ctypes.data_as(i64p),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise ValueError(f"malformed S line in GFA (line {-rc - 1})")
+    return name_ends, seq_lens
 
 
 def build_edge_hash(keys: np.ndarray, eids: np.ndarray):

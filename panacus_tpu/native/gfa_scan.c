@@ -546,6 +546,31 @@ static void* scan_worker(void* arg)
             }
             c->nl_counts[r] = nl;
             c->tab_counts[r] = tab;
+        } else if (c->tab_out == NULL) {
+            /* newline-only fill: callers whose field parsing is native
+             * (pt_s_spans / pt_index_edges / pt_tokenize re-scan their own
+             * lines) never materialize the global tab index — dropping
+             * ~8 bytes of writes per tab, the dominant write traffic of
+             * the structural scan on L/S-dense GFAs. */
+            int64_t* nl = c->nl_out + c->nl_off[r];
+            const uint8_t* base = c->buf;
+            const uint64_t NL = 0x0A0A0A0A0A0A0A0AULL;
+            const uint64_t LO = 0x0101010101010101ULL;
+            const uint64_t HI = 0x8080808080808080ULL;
+            int64_t i = a;
+            for (; i + 8 <= b; i += 8) {
+                uint64_t x;
+                memcpy(&x, base + i, 8);
+                uint64_t tn = x ^ NL;
+                uint64_t hn = (tn - LO) & ~tn & HI;
+                while (hn) {
+                    *nl++ = i + (__builtin_ctzll(hn) >> 3);
+                    hn &= hn - 1;
+                }
+            }
+            for (; i < b; i++) {
+                if (base[i] == '\n') *nl++ = i;
+            }
         } else {
             /* one SWAR pass finds BOTH separators: 8 bytes per load with
              * the has-byte bit trick, positions extracted via ctz. GFA
@@ -628,6 +653,85 @@ EXPORT void pt_scan_fill(
         nl_off, tab_off, nl_out, tab_out, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     scan_run(&c, 1, n_threads);
+}
+
+/* ---- per-S-line field spans ---------------------------------------------
+ *
+ * Name end and sequence length for every S line without the global tab
+ * index (reference field layout: S \t name \t seq [\t tags..],
+ * src/graph_broker/graph.rs parse_segment): name spans (start+2, t2),
+ * seq spans (t2+1, t3-or-line-end). Threaded over line chunks; memchr
+ * does the heavy lifting (sequence bytes dominate real GFAs).
+ */
+
+typedef struct {
+    const uint8_t* buf;
+    const int64_t* starts;
+    const int64_t* ends;
+    int64_t n;
+    int64_t* name_end;
+    int64_t* seq_len;
+    int64_t next;
+    int64_t rc; /* 0 ok, -(i+1) = malformed line i */
+    pthread_mutex_t lock;
+} sspan_ctx;
+
+static void* sspan_worker(void* arg)
+{
+    sspan_ctx* c = (sspan_ctx*)arg;
+    const int64_t CHUNK = 8192;
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t a = c->next;
+        c->next += CHUNK;
+        int64_t stop = c->rc != 0;
+        pthread_mutex_unlock(&c->lock);
+        if (a >= c->n || stop) return NULL;
+        int64_t b = a + CHUNK < c->n ? a + CHUNK : c->n;
+        for (int64_t i = a; i < b; i++) {
+            int64_t s = c->starts[i] + 2;
+            int64_t e = c->ends[i];
+            if (s > e) s = e;
+            const uint8_t* p = memchr(c->buf + s, '\t', (size_t)(e - s));
+            if (!p) {
+                pthread_mutex_lock(&c->lock);
+                if (!c->rc) c->rc = -(i + 1);
+                pthread_mutex_unlock(&c->lock);
+                return NULL;
+            }
+            int64_t t2 = p - c->buf;
+            const uint8_t* q =
+                memchr(c->buf + t2 + 1, '\t', (size_t)(e - t2 - 1));
+            int64_t t3 = q ? q - c->buf : e;
+            c->name_end[i] = t2;
+            c->seq_len[i] = t3 - t2 - 1;
+        }
+    }
+}
+
+EXPORT int64_t pt_s_spans(
+    const uint8_t* buf, const int64_t* starts, const int64_t* ends,
+    int64_t n, int64_t* name_end, int64_t* seq_len, int32_t n_threads)
+{
+    sspan_ctx c = {
+        buf, starts, ends, n, name_end, seq_len, 0, 0,
+        PTHREAD_MUTEX_INITIALIZER,
+    };
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads == 1 || n < 2 * 8192) {
+        sspan_worker(&c);
+        return c.rc;
+    }
+    pthread_t tids[64];
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++) {
+        if (pthread_create(&tids[t], NULL, sspan_worker, &c) == 0) spawned++;
+        else break;
+    }
+    sspan_worker(&c);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    return c.rc;
 }
 
 /* ---- edge-id lookup ------------------------------------------------------
