@@ -539,10 +539,27 @@ static void* scan_worker(void* arg)
         int64_t a = r * chunk;
         int64_t b = a + chunk < c->n ? a + chunk : c->n;
         if (c->phase == 0) {
+            /* SWAR count: has-byte trick + popcount, 8 bytes per step
+             * (the scalar byte loop was the slower of the two scan
+             * passes once the fill stopped writing tabs) */
+            const uint8_t* base = c->buf;
+            const uint64_t NL = 0x0A0A0A0A0A0A0A0AULL;
+            const uint64_t TB = 0x0909090909090909ULL;
+            const uint64_t LO = 0x0101010101010101ULL;
+            const uint64_t HI = 0x8080808080808080ULL;
             int64_t nl = 0, tab = 0;
-            for (int64_t i = a; i < b; i++) {
-                nl += (c->buf[i] == '\n');
-                tab += (c->buf[i] == '\t');
+            int64_t i = a;
+            for (; i + 8 <= b; i += 8) {
+                uint64_t x;
+                memcpy(&x, base + i, 8);
+                uint64_t tn = x ^ NL;
+                uint64_t tt = x ^ TB;
+                nl += __builtin_popcountll((tn - LO) & ~tn & HI);
+                tab += __builtin_popcountll((tt - LO) & ~tt & HI);
+            }
+            for (; i < b; i++) {
+                nl += (base[i] == '\n');
+                tab += (base[i] == '\t');
             }
             c->nl_counts[r] = nl;
             c->tab_counts[r] = tab;
@@ -914,65 +931,85 @@ EXPORT int64_t pt_index_edges(
     uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
     int shift = 64 - log2_slots;
     int64_t n_unique = 0;
-    for (int64_t k = 0; k < n_lines; k++) {
-        int64_t i = starts[k], e = ends[k];
-        if (i + 1 >= e || buf[i] != 'L' || buf[i + 1] != '\t') return -(k + 1);
-        i += 2;
-        int64_t uv = 0, vv = 0;
-        int any = 0;
-        while (i < e && buf[i] >= '0' && buf[i] <= '9') {
-            uv = uv * 10 + (buf[i] - '0');
-            any = 1;
+    /* parse a batch of lines, prefetch each key's home slot, then insert:
+     * the insert probe is one random line into a table far larger than
+     * LLC, so without prefetch every line stalls the full miss latency
+     * (the former per-line loop spent most of its time there) */
+    enum { EIDX_BATCH = 64 };
+    uint64_t keys[EIDX_BATCH];
+    int64_t k = 0;
+    while (k < n_lines) {
+        int64_t bn = n_lines - k;
+        if (bn > EIDX_BATCH) bn = EIDX_BATCH;
+        for (int64_t j = 0; j < bn; j++) {
+            int64_t i = starts[k + j], e = ends[k + j];
+            if (i + 1 >= e || buf[i] != 'L' || buf[i + 1] != '\t')
+                return -(k + j + 1);
+            i += 2;
+            int64_t uv = 0, vv = 0;
+            int any = 0;
+            while (i < e && buf[i] >= '0' && buf[i] <= '9') {
+                uv = uv * 10 + (buf[i] - '0');
+                any = 1;
+                i++;
+            }
+            if (!any || i + 1 >= e || buf[i] != '\t') return -(k + j + 1);
+            uint8_t o1;
+            if (buf[i + 1] == '+') o1 = 0;
+            else if (buf[i + 1] == '-') o1 = 1;
+            else return -(k + j + 1);
+            i += 2;
+            if (i >= e || buf[i] != '\t') return -(k + j + 1);
             i++;
-        }
-        if (!any || i + 1 >= e || buf[i] != '\t') return -(k + 1);
-        uint8_t o1;
-        if (buf[i + 1] == '+') o1 = 0;
-        else if (buf[i + 1] == '-') o1 = 1;
-        else return -(k + 1);
-        i += 2;
-        if (i >= e || buf[i] != '\t') return -(k + 1);
-        i++;
-        any = 0;
-        while (i < e && buf[i] >= '0' && buf[i] <= '9') {
-            vv = vv * 10 + (buf[i] - '0');
-            any = 1;
-            i++;
-        }
-        if (!any || i + 1 >= e || buf[i] != '\t') return -(k + 1);
-        uint8_t o2;
-        if (buf[i + 1] == '+') o2 = 0;
-        else if (buf[i + 1] == '-') o2 = 1;
-        else return -(k + 1);
+            any = 0;
+            while (i < e && buf[i] >= '0' && buf[i] <= '9') {
+                vv = vv * 10 + (buf[i] - '0');
+                any = 1;
+                i++;
+            }
+            if (!any || i + 1 >= e || buf[i] != '\t') return -(k + j + 1);
+            uint8_t o2;
+            if (buf[i + 1] == '+') o2 = 0;
+            else if (buf[i + 1] == '-') o2 = 1;
+            else return -(k + j + 1);
 
-        int64_t u, v;
-        if (mode == 1) {
-            if (uv < 1 || uv > n_items || vv < 1 || vv > n_items)
-                return -(k + 1);
-            u = uv;
-            v = vv;
-        } else {
-            u = name_to_id(sorted_vals, sorted_ids, n_sorted, uv);
-            v = name_to_id(sorted_vals, sorted_ids, n_sorted, vv);
-            if (u < 0 || v < 0) return -(k + 1);
-        }
+            int64_t u, v;
+            if (mode == 1) {
+                if (uv < 1 || uv > n_items || vv < 1 || vv > n_items)
+                    return -(k + j + 1);
+                u = uv;
+                v = vv;
+            } else {
+                u = name_to_id(sorted_vals, sorted_ids, n_sorted, uv);
+                v = name_to_id(sorted_vals, sorted_ids, n_sorted, vv);
+                if (u < 0 || v < 0) return -(k + j + 1);
+            }
 
-        uint64_t key = edge_canonical_key(u, o1, v, o2);
-        uint64_t s = (key * EDGE_HASH_MUL) >> shift;
-        uint64_t sk;
-        while ((sk = slots[2 * s]) != 0 && sk != key) s = (s + 1) & mask;
-        if (sk == 0) {
-            slots[2 * s] = key;
-            slots[2 * s + 1] = (uint64_t)++n_unique;
-            uint64_t cu = key >> 33;
-            uint64_t cv = (key >> 2) & ((1ull << 31) - 1);
-            edges_u[n_unique - 1] = (int64_t)cu;
-            edges_o1[n_unique - 1] = (uint8_t)((key >> 1) & 1u);
-            edges_v[n_unique - 1] = (int64_t)cv;
-            edges_o2[n_unique - 1] = (uint8_t)(key & 1u);
-            degree[cu]++;
-            degree[cv]++;
+            uint64_t key = edge_canonical_key(u, o1, v, o2);
+            keys[j] = key;
+            __builtin_prefetch(
+                &slots[2 * ((key * EDGE_HASH_MUL) >> shift)], 1, 1);
         }
+        for (int64_t j = 0; j < bn; j++) {
+            uint64_t key = keys[j];
+            uint64_t s = (key * EDGE_HASH_MUL) >> shift;
+            uint64_t sk;
+            while ((sk = slots[2 * s]) != 0 && sk != key)
+                s = (s + 1) & mask;
+            if (sk == 0) {
+                slots[2 * s] = key;
+                slots[2 * s + 1] = (uint64_t)++n_unique;
+                uint64_t cu = key >> 33;
+                uint64_t cv = (key >> 2) & ((1ull << 31) - 1);
+                edges_u[n_unique - 1] = (int64_t)cu;
+                edges_o1[n_unique - 1] = (uint8_t)((key >> 1) & 1u);
+                edges_v[n_unique - 1] = (int64_t)cv;
+                edges_o2[n_unique - 1] = (uint8_t)(key & 1u);
+                degree[cu]++;
+                degree[cv]++;
+            }
+        }
+        k += bn;
     }
     return n_unique;
 }
