@@ -142,3 +142,66 @@ def test_edge_lookup_without_l_lines(tmp_path, monkeypatch):
         g.edge_ids_for_pairs(
             np.array([1]), np.array([0]), np.array([2]), np.array([0])
         )
+
+
+def test_s_spans_native_matches_fallback(t_groups_gfa, monkeypatch):
+    # same S-line name/len extraction whether pt_s_spans or the numpy
+    # tab-index fallback parses (lazy _tabs property materializes only
+    # for the fallback)
+    from panacus_tpu import native
+
+    g_native = GraphStorage(t_groups_gfa, index_edges=True)
+    monkeypatch.setattr(native, "s_spans", lambda *a, **k: None)
+    g_fb = GraphStorage(t_groups_gfa, index_edges=True)
+    assert g_fb._tabs_arr is not None  # fallback materialized the index
+    assert g_native.node_lens.tolist() == g_fb.node_lens.tolist()
+    assert g_native.node_count == g_fb.node_count
+    for iid in (1, 7, 15):
+        assert g_native.node_name(iid) == g_fb.node_name(iid)
+    assert g_native.edge_count == g_fb.edge_count
+
+
+def test_s_line_optional_tags(tmp_path):
+    # sequence length must stop at the tag field tab, not the line end
+    gfa = tmp_path / "tags.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGT\tLN:i:4\tSN:Z:chr1\n"
+        "S\t2\tGG\n"
+        "P\ta#0#x\t1+,2+\t*\n"
+        "L\t1\t+\t2\t+\t0M\n"
+    )
+    g = GraphStorage(str(gfa), index_edges=True)
+    assert g.node_lens[1] == 4
+    assert g.node_lens[2] == 2
+    assert g.node_name(1) == "1"
+
+
+def test_malformed_s_line_raises(tmp_path):
+    import pytest
+
+    gfa = tmp_path / "bad.gfa"
+    gfa.write_text("H\tVN:Z:1.0\nS\tnotab\nP\ta#0#x\t1+\t*\n")
+    with pytest.raises(ValueError, match="malformed S line"):
+        GraphStorage(str(gfa), index_edges=False)
+
+
+def test_walk_metadata_star_spans(tmp_path):
+    # W-line '*' start/end columns parse to open-ended PathSegments with
+    # the per-line find parser (no global tab index)
+    gfa = tmp_path / "w.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.1\n"
+        "S\t1\tAC\n"
+        "S\t2\tGG\n"
+        "W\tsamp\t1\tchr1\t*\t*\t>1>2\n"
+        "W\tsamp\t2\tchr1\t5\t9\t>1\n"
+    )
+    g = GraphStorage(str(gfa), index_edges=False)
+    assert len(g.path_segments) == 2
+    p0, p1 = g.path_segments
+    assert (p0.sample, p0.haplotype, p0.seqid) == ("samp", "1", "chr1")
+    assert (p0.start, p0.end) == (None, None)
+    assert (p1.start, p1.end) == (5, 9)
+    ids, orient = g.path_item_run(0)
+    assert ids.tolist() == [1, 2]

@@ -124,3 +124,81 @@ def test_stream_ordered_and_similarity_match(t_groups_gfa):
         se.similarity(w.astype(np.float32)),
         ce.similarity(w.astype(np.float32)),
     )
+
+
+def test_serial_schedule_matches_sharded(chrm_gfa, monkeypatch):
+    """The single-device host-placement schedule (phase A tokenize/node,
+    phase B edge after joining the async edge index) must produce the
+    same hists as the default sharded build. CI runs on the 8-device
+    mesh where the serial path is never chosen, so force it."""
+    from panacus_tpu.ops import engine as eng
+
+    cts = [CountType.NODE, CountType.BP, CountType.EDGE]
+
+    def hists_of(res):
+        from panacus_tpu.abacus import construct_hists
+
+        return {
+            ct: [int(x) for x in h]
+            for ct, h in construct_hists(res[0]).items()
+        }
+
+    g = GraphStorage(chrm_gfa, index_edges=True)
+    mask = GraphMask.from_datamgr(GraphMaskParameters(groupby_sample=True), g)
+    base = streamed_total_abaci(g, mask, cts)
+    assert base is not None
+
+    monkeypatch.setattr(eng, "_items_sharding", lambda: None)
+    g2 = GraphStorage(chrm_gfa, index_edges=True)
+    mask2 = GraphMask.from_datamgr(
+        GraphMaskParameters(groupby_sample=True), g2
+    )
+    ser = streamed_total_abaci(g2, mask2, cts)
+    assert ser is not None
+    # the forced path really is the serial one
+    assert all(
+        ab.engine._m_device() is not None for ab in ser[0].values()
+    )
+    assert hists_of(base) == hists_of(ser)
+    # paths_len parity between the two schedules
+    assert base[1].paths_len == ser[1].paths_len
+
+
+def test_pipelined_schedule_matches_serial(chrm_gfa, monkeypatch):
+    """Force the pipelined (device-upload) schedule on one device by
+    pretending the rows are not host-placed; results must match the
+    serial schedule bit-for-bit."""
+    from panacus_tpu.ops import engine as eng
+
+    cts = [CountType.NODE, CountType.BP, CountType.EDGE]
+    monkeypatch.setattr(eng, "_items_sharding", lambda: None)
+
+    def hists_of(res):
+        from panacus_tpu.abacus import construct_hists
+
+        return {
+            ct: [int(x) for x in h]
+            for ct, h in construct_hists(res[0]).items()
+        }
+
+    g = GraphStorage(chrm_gfa, index_edges=True)
+    mask = GraphMask.from_datamgr(GraphMaskParameters(groupby_sample=True), g)
+    ser = streamed_total_abaci(g, mask, cts)
+    assert ser is not None
+
+    orig_init = eng.MembershipStream.__init__
+
+    def no_host_init(self, n_items, n_groups):
+        orig_init(self, n_items, n_groups)
+        self._host_np = False
+
+    monkeypatch.setattr(eng.MembershipStream, "__init__", no_host_init)
+    monkeypatch.setattr(eng, "host_row_placement", lambda *a: False)
+    g2 = GraphStorage(chrm_gfa, index_edges=True)
+    mask2 = GraphMask.from_datamgr(
+        GraphMaskParameters(groupby_sample=True), g2
+    )
+    pipe = streamed_total_abaci(g2, mask2, cts)
+    assert pipe is not None
+    assert hists_of(ser) == hists_of(pipe)
+    assert ser[1].paths_len == pipe[1].paths_len
