@@ -413,17 +413,6 @@ def run_inner() -> None:
     except Exception as e:
         sys.stderr.write(f"[bench] gz stage failed: {e}\n")
 
-    # device roofline
-    frac = None
-    bw = None
-    read_bw = None
-    try:
-        r = run_roofline()
-        if r is not None:
-            bw, frac, read_bw = r
-    except Exception as e:
-        sys.stderr.write(f"[bench] roofline failed: {e}\n")
-
     out = {
         "metric": "histgrowth_all_throughput",
         "value": round(mbps_all, 2),
@@ -435,6 +424,23 @@ def run_inner() -> None:
         "placement": placement,
         "stages": stages,
     }
+    # flush the end-to-end result BEFORE the roofline: the roofline talks
+    # to the accelerator directly and can stall on a dead tunnel; the
+    # orchestrator merges every JSON line (and salvages partial stdout on
+    # timeout), so the stage numbers survive a roofline hang
+    print(json.dumps(out), flush=True)
+
+    # device roofline
+    frac = None
+    bw = None
+    read_bw = None
+    try:
+        r = run_roofline()
+        if r is not None:
+            bw, frac, read_bw = r
+    except Exception as e:
+        sys.stderr.write(f"[bench] roofline failed: {e}\n")
+
     if frac is not None:
         out["device_bw_frac"] = round(frac, 3)
         out["device_bw_gbps"] = round(bw / 1e9, 1)
@@ -448,6 +454,40 @@ def run_inner() -> None:
     print(json.dumps(out))
 
 
+def run_probe() -> None:
+    """Minimal accelerator liveness check: a real transfer + compute.
+    Tunneled backends can enumerate devices instantly yet stall on the
+    first material transfer — probe the pattern the bench actually uses."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon"):
+        print("probe: not-accelerator")
+        return
+    x = jax.device_put(np.zeros(2 * 1024 * 1024, dtype=np.uint32), dev)
+    y = jnp.bitwise_count(x).astype(jnp.uint32).sum()
+    y.block_until_ready()
+    print("probe: ok")
+
+
+def run_roofline_only() -> None:
+    """Roofline-only inner mode: a second chance at the device kernel
+    numbers when the full default-backend attempt stalled."""
+    if not os.path.exists(CACHE):
+        make_graph(CACHE)
+    out = {}
+    r = run_roofline()
+    if r is not None:
+        bw, frac, read_bw = r
+        out["device_bw_frac"] = round(frac, 3)
+        out["device_bw_gbps"] = round(bw / 1e9, 1)
+        if read_bw:
+            out["device_read_gbps"] = round(read_bw / 1e9, 1)
+            out["device_frac_of_read"] = round(bw / read_bw, 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     """Orchestrate: try the default backend (TPU) in a bounded subprocess;
     fall back to CPU if it stalls or fails. Always emits one JSON line."""
@@ -455,6 +495,12 @@ def main() -> None:
 
     if "--inner" in sys.argv:
         run_inner()
+        return
+    if "--probe" in sys.argv:
+        run_probe()
+        return
+    if "--roofline-only" in sys.argv:
+        run_roofline_only()
         return
 
     # generate (or reuse) the graph before the bounded attempts so the
@@ -471,9 +517,35 @@ def main() -> None:
         "MALLOC_MMAP_MAX_": "0",
     }
     default_env = dict(os.environ, **malloc_env)
-    attempts = [
-        ("default backend", default_env, budget),
-    ]
+
+    def bounded(mode: str, env, t: int):
+        return subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            env=env,
+            timeout=t,
+            capture_output=True,
+            text=True,
+        )
+
+    # liveness gate: the tunnel can enumerate devices instantly yet stall
+    # on the first real transfer — burning the whole attempt budget. A
+    # 90 s probe decides whether the default-backend attempt is worth it.
+    probe_ok = True
+    try:
+        pr = bounded("--probe", default_env, 90)
+        probe_ok = pr.returncode == 0 and "probe:" in pr.stdout
+        if not probe_ok:
+            sys.stderr.write(
+                f"[bench] accelerator probe failed (rc={pr.returncode})\n"
+            )
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+        sys.stderr.write("[bench] accelerator probe stalled; skipping "
+                         "default-backend attempt\n")
+
+    attempts = []
+    if probe_ok:
+        attempts.append(("default backend", default_env, budget))
     cpu_env = dict(default_env)
     cpu_env["JAX_PLATFORMS"] = "cpu"
     cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -489,24 +561,41 @@ def main() -> None:
     attempt_summaries = {}
     for name, env, t in attempts:
         sys.stderr.write(f"[bench] attempt: {name} (timeout {t}s)\n")
+        salvaged = False
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner"],
-                env=env,
-                timeout=t,
-                capture_output=True,
-                text=True,
+            r = bounded("--inner", env, t)
+            stdout, stderr, rc = r.stdout, r.stderr, r.returncode
+        except subprocess.TimeoutExpired as te:
+            # the inner prints (and flushes) its end-to-end JSON before
+            # the roofline, so a roofline hang still leaves stage numbers
+            # in the partial stdout
+            stdout = (te.stdout or b"")
+            stderr = (te.stderr or b"")
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode(errors="replace")
+            rc = 0 if any(
+                ln.startswith("{") for ln in stdout.splitlines()
+            ) else -1
+            salvaged = rc == 0
+            sys.stderr.write(
+                f"[bench] {name} timed out"
+                + (" (salvaged partial results)\n" if salvaged else "\n")
             )
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(f"[bench] {name} timed out\n")
-            continue
-        sys.stderr.write(r.stderr)
-        line = None
-        for ln in r.stdout.splitlines():
+            if rc != 0:
+                continue
+        sys.stderr.write(stderr)
+        # merge every JSON line (stage line first, then the roofline-
+        # augmented final line when the roofline completed)
+        parsed = {}
+        for ln in stdout.splitlines():
             if ln.startswith("{"):
-                line = ln
-        if r.returncode == 0 and line:
-            parsed = json.loads(line)
+                try:
+                    parsed.update(json.loads(ln))
+                except ValueError:
+                    pass
+        if rc == 0 and parsed:
             if "device_bw_frac" in parsed:
                 device_fields = {
                     k: parsed[k]
@@ -529,7 +618,27 @@ def main() -> None:
                 f"(M placement: {parsed.get('placement')})\n"
             )
         else:
-            sys.stderr.write(f"[bench] {name} failed (rc={r.returncode})\n")
+            sys.stderr.write(f"[bench] {name} failed (rc={rc})\n")
+    # roofline second chance: the device-kernel numbers are independent of
+    # the end-to-end attempts, so if the default attempt stalled mid-way
+    # (device_fields empty) but the tunnel probed alive, try just the
+    # roofline with its own budget
+    if probe_ok and not device_fields:
+        sys.stderr.write("[bench] roofline-only retry\n")
+        try:
+            r = bounded("--roofline-only", default_env, min(budget, 600))
+            line = None
+            for ln in r.stdout.splitlines():
+                if ln.startswith("{"):
+                    line = ln
+            if r.returncode == 0 and line:
+                device_fields = {
+                    k: v
+                    for k, v in json.loads(line).items()
+                    if k.startswith("device_")
+                }
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("[bench] roofline-only retry timed out\n")
     if results:
         best_name, best = max(results, key=lambda kv: kv[1]["value"])
         sys.stderr.write(f"[bench] best backend: {best_name}\n")

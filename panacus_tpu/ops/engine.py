@@ -524,6 +524,11 @@ class MembershipStream:
     by the time the last path slab is tokenized, every earlier word row is
     already resident in HBM, so the device tail is one row upload + the
     fused hist dispatch.
+
+    Host placement (pure-CPU run, or the slow-link policy chose the host
+    backend): rows stay numpy and finalize hands XLA:CPU the stacked
+    matrix in one zero-copy device_put — per-row "transfers" would just be
+    same-memory copies queued behind the tokenizer threads.
     """
 
     def __init__(self, n_items: int, n_groups: int):

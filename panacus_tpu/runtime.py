@@ -208,27 +208,53 @@ def device_link_profile() -> "tuple[float, float]":
     if override:
         _LINK_PROFILE = (float(override) * 1e6, 1e-3)
         return _LINK_PROFILE
+    import threading
     import time
 
     import jax
     import numpy as np
 
     dev = jax.devices()[0]
-    tiny = np.zeros(8, dtype=np.int32)
-    blk = np.zeros(1 << 18, dtype=np.int32)  # 1 MiB
-    # warm the transfer paths (shape setup is one-time on tunneled backends)
-    np.asarray(jax.device_put(tiny, dev))
-    np.asarray(jax.device_put(blk, dev)[:8])
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(jax.device_put(tiny, dev))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[1]
-    t0 = time.perf_counter()
-    np.asarray(jax.device_put(blk, dev)[:8])
-    t_blk = time.perf_counter() - t0
-    bw = blk.nbytes / max(t_blk - rtt, 1e-6)
+
+    result: dict = {}
+
+    def _probe() -> None:
+        try:
+            tiny = np.zeros(8, dtype=np.int32)
+            blk = np.zeros(1 << 18, dtype=np.int32)  # 1 MiB
+            # warm the transfer paths (shape setup is one-time on
+            # tunneled backends)
+            np.asarray(jax.device_put(tiny, dev))
+            np.asarray(jax.device_put(blk, dev)[:8])
+            rtts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_put(tiny, dev))
+                rtts.append(time.perf_counter() - t0)
+            rtt = sorted(rtts)[1]
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(blk, dev)[:8])
+            t_blk = time.perf_counter() - t0
+            result["v"] = (blk.nbytes / max(t_blk - rtt, 1e-6), rtt)
+        except Exception as e:  # pragma: no cover - backend failure
+            result["e"] = e
+
+    # Watchdog: tunneled backends can stall mid-transfer with no error and
+    # no way to interrupt the blocked XLA call — run the probe in a daemon
+    # thread and, on timeout, report a dead-slow link so the placement
+    # policy keeps all counting on the host and the run never touches the
+    # stalled device again (the abandoned thread dies with the process).
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("PANACUS_TPU_LINK_PROBE_S", "20")))
+    if "v" not in result:
+        log.warning(
+            "device link probe %s; assuming dead-slow link (host placement)",
+            "failed: %s" % result["e"] if "e" in result else "stalled",
+        )
+        _LINK_PROFILE = (1e6, 1.0)
+        return _LINK_PROFILE
+    bw, rtt = result["v"]
     _LINK_PROFILE = (bw, rtt)
     log.info(
         "device link: %.0f MB/s, RTT %.1f ms (%s)",

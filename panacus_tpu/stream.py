@@ -1,16 +1,19 @@
-"""Streamed abacus construction: overlap host tokenization with device work.
+"""Streamed abacus construction with a placement-aware schedule.
 
 The classic path (itemize_paths -> build_membership_host -> one blocking
-upload) serializes three phases that have no mutual dependency at slab
-granularity: tokenizing the paths of group-word w, packing word w's bit row,
-and uploading it. This module pipelines them:
+upload) serializes phases that have no mutual dependency at slab
+granularity. This module picks one of two schedules:
 
-  tokenize slab i+1 (threaded C)   |  pack row of slab i (threaded C)
-                                   |  upload row of slab i-1 (async DMA)
-
-so by the time the final path slab is tokenized, every earlier membership
-row is already resident in device HBM. The device tail of a whole
-histgrowth run is then one row upload plus the fused hist dispatch.
+- **Pipelined** (device-placed rows): a worker thread tokenizes slab i+1
+  while the main thread packs slab i's rows and async device_put uploads
+  ride underneath — by the time the final slab is tokenized, every
+  earlier membership row is already resident in device HBM.
+- **Serial** (host-placed rows — pure-CPU runs or the slow-link policy):
+  there is no upload to hide, so the pipeline's extra thread only
+  oversubscribes the cores the threaded C stages already use. Phase A
+  tokenizes and packs node rows at full thread width while the async
+  L-line edge indexer still runs; phase B joins it and packs edge rows
+  from the stashed node CSRs.
 
 Applicability: unmasked runs (no subset/exclude coordinates) on graphs the
 native batch tokenizer can handle — exactly the hot production case. The
