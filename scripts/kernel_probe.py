@@ -1,0 +1,132 @@
+"""Pallas hist-kernel formulation probe (TPU hardware).
+
+Measures one variant per process (the tunnel stalls unpredictably, so a
+stall only costs that attempt; the persistent jax compile cache makes
+retries cheap once a variant has compiled):
+
+    python scripts/kernel_probe.py pc      # read + popcount only (coverage ceiling)
+    python scripts/kernel_probe.py cur3    # production kernel, 3 limbs (roofline shape)
+    python scripts/kernel_probe.py cur1    # production kernel, 1 limb (node-hist shape)
+    python scripts/kernel_probe.py fh23    # fine-folded weights, 3 limbs
+    python scripts/kernel_probe.py fh21    # fine-folded weights, 1 limb
+    python scripts/kernel_probe.py parity  # fh2 == production on random input
+
+The fine-folded formulation moves the per-limb weight select to the
+32-lane FINE plane and shares the coarse one-hot across limbs —
+structurally ~(n_limbs-1)*n_coarse fewer VPU lanes per item than the
+production kernel (ops/pallas_kernels.py), a ~20% hist-side saving at 3
+limbs; only a fast-stable tunnel window can confirm (see BASELINE.md's
+speed-of-light accounting). Run each variant under `timeout` and gate on
+`python bench.py --probe`.
+"""
+import functools, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from panacus_tpu import runtime
+runtime.configure_jax()  # persistent compile cache
+import jax, jax.numpy as jnp, numpy as np
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from panacus_tpu.ops import pallas_kernels as pk
+
+variant = sys.argv[1]
+n_words, n_items = 32, 1 << 23
+M = jax.random.bits(jax.random.PRNGKey(0), (n_words, n_items), jnp.uint32)
+w = jax.random.randint(jax.random.PRNGKey(1), (1, n_items), 0, 1 << 20, dtype=jnp.int32)
+n_bins = n_words * 32 + 2
+K = 8
+B = pk.BLOCK_ITEMS
+FINE = pk.FINE
+
+def _pc_kernel(m_ref, out_ref, acc):
+    @pl.when(pl.program_id(0) == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    cov = jnp.sum(jax.lax.population_count(m_ref[:]).astype(jnp.int32), axis=0, keepdims=True)
+    acc[:] += cov
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _o(): out_ref[:] = acc[:]
+
+def pc_only(Mx):
+    return pl.pallas_call(
+        _pc_kernel, grid=(n_items // B,),
+        in_specs=[pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+    )(Mx)
+
+def _fh2_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi, n_limbs=3):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_lo[:] = jnp.zeros_like(acc_lo); acc_hi[:] = jnp.zeros_like(acc_hi)
+    cov = jnp.sum(jax.lax.population_count(m_ref[:]).astype(jnp.int32), axis=0, keepdims=True)
+    n_vecs = w_ref.shape[0]
+    n_rows = n_limbs * n_vecs
+    n_coarse = acc_lo.shape[0] // n_rows
+    fine_eq = (cov & (FINE - 1)) == jax.lax.broadcasted_iota(jnp.int32, (FINE, B), 0)
+    coarse_oh = ((cov >> 5) == jax.lax.broadcasted_iota(jnp.int32, (n_coarse, B), 0)).astype(jnp.bfloat16)
+    for v in range(n_vecs):
+        wv = w_ref[v:v+1, :]
+        for j in range(n_limbs):
+            wl = (wv >> (8 * j)) & 0xFF
+            wf = jnp.where(fine_eq, wl, 0).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(coarse_oh, wf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            l = j * n_vecs + v
+            acc_lo[l*n_coarse:(l+1)*n_coarse] += p & 0xFFFF
+            acc_hi[l*n_coarse:(l+1)*n_coarse] += p >> 16
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _o():
+        nr = n_rows * n_coarse
+        out_ref[0:nr] = acc_lo[:]; out_ref[nr:2*nr] = acc_hi[:]
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def fh2(Mx, w_vecs, n_bins, n_limbs=3):
+    n_bins_pad = ((n_bins + 127) // 128) * 128
+    n_vecs = w_vecs.shape[0]
+    n_rows = n_limbs * n_vecs
+    n_coarse = n_bins_pad // FINE
+    return pl.pallas_call(
+        functools.partial(_fh2_kernel, n_limbs=n_limbs), grid=(n_items // B,),
+        in_specs=[
+            pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vecs, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2*n_rows*n_coarse, FINE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2*n_rows*n_coarse, FINE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32),
+                        pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32)],
+    )(Mx, w_vecs.astype(jnp.int32))
+
+if variant == 'pc':
+    @jax.jit
+    def chain(M):
+        def body(i, a): return a + pc_only(M ^ i.astype(jnp.uint32)).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M)
+elif variant.startswith('cur'):
+    nl = int(variant[-1])
+    @jax.jit
+    def chain(M, w):
+        def body(i, a): return a + pk.fused_hist_tpu(M, w + i, n_bins, nl).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M, w)
+elif variant.startswith('fh2'):
+    nl = int(variant[-1])
+    @jax.jit
+    def chain(M, w):
+        def body(i, a): return a + fh2(M, w + i, n_bins, nl).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M, w)
+elif variant == 'parity':
+    a = np.asarray(pk.fused_hist_tpu(M, w, n_bins, 3))
+    b = np.asarray(fh2(M, w, n_bins, 3))
+    print('parity fh2 vs current:', np.array_equal(a, b), flush=True)
+    sys.exit(0)
+
+np.asarray(c())
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter(); np.asarray(c()); ts.append(time.perf_counter()-t0)
+t = sorted(ts)[1] / K
+print(f'{variant}: {M.nbytes/t/1e9:.0f} GB/s ({t*1e3:.2f} ms/pass)', flush=True)
