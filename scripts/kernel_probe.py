@@ -38,22 +38,48 @@ K = 8
 B = pk.BLOCK_ITEMS
 FINE = pk.FINE
 
-def _pc_kernel(m_ref, out_ref, acc):
+def _pc_kernel(m_ref, w_ref, out_ref, acc):
+    # w is only mixed in so the K-pass chain can vary a cheap [1, B]
+    # operand per iteration (defeats CSE without re-materializing M —
+    # xoring M itself per pass would triple the measured traffic)
     @pl.when(pl.program_id(0) == 0)
     def _(): acc[:] = jnp.zeros_like(acc)
     cov = jnp.sum(jax.lax.population_count(m_ref[:]).astype(jnp.int32), axis=0, keepdims=True)
-    acc[:] += cov
+    acc[:] += cov + (w_ref[:] & 1)
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _o(): out_ref[:] = acc[:]
 
-def pc_only(Mx):
+def pc_only(Mx, wx):
     return pl.pallas_call(
         _pc_kernel, grid=(n_items // B,),
-        in_specs=[pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
-    )(Mx)
+    )(Mx, wx)
+
+def _pcl_kernel(m_ref, w_ref, out_ref, acc):
+    # manually fused accumulate loop (vs jnp.sum's materialize+reduce)
+    @pl.when(pl.program_id(0) == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    x = m_ref[:]
+    cov = jax.lax.population_count(x[0:1]).astype(jnp.int32)
+    for i in range(1, x.shape[0]):
+        cov = cov + jax.lax.population_count(x[i:i+1]).astype(jnp.int32)
+    acc[:] += cov + (w_ref[:] & 1)
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _o(): out_ref[:] = acc[:]
+
+def pcl_only(Mx, wx):
+    return pl.pallas_call(
+        _pcl_kernel, grid=(n_items // B,),
+        in_specs=[pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+    )(Mx, wx)
 
 def _fh2_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi, n_limbs=3):
     @pl.when(pl.program_id(0) == 0)
@@ -98,12 +124,23 @@ def fh2(Mx, w_vecs, n_bins, n_limbs=3):
                         pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32)],
     )(Mx, w_vecs.astype(jnp.int32))
 
-if variant == 'pc':
+if variant == 'read':
+    import bench
+
+    print(f'read: {bench._xor_read_bw(M, K=K)/1e9:.0f} GB/s', flush=True)
+    sys.exit(0)
+elif variant == 'pc':
     @jax.jit
-    def chain(M):
-        def body(i, a): return a + pc_only(M ^ i.astype(jnp.uint32)).sum()
+    def chain(M, w):
+        def body(i, a): return a + pc_only(M, w + i).sum()
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-    c = lambda: chain(M)
+    c = lambda: chain(M, w)
+elif variant == 'pcl':
+    @jax.jit
+    def chain(M, w):
+        def body(i, a): return a + pcl_only(M, w + i).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M, w)
 elif variant.startswith('cur'):
     nl = int(variant[-1])
     @jax.jit
