@@ -202,3 +202,23 @@ def test_pipelined_schedule_matches_serial(chrm_gfa, monkeypatch):
     assert pipe is not None
     assert hists_of(ser) == hists_of(pipe)
     assert ser[1].paths_len == pipe[1].paths_len
+
+
+def test_serial_edge_only(chrm_gfa, monkeypatch):
+    """Edge-only runs in the serial schedule: phase A only tokenizes and
+    stashes (no node stream exists), phase B builds the edge rows. Must
+    match the classic itemizer's edge abacus."""
+    from panacus_tpu.ops import engine as eng
+
+    monkeypatch.setattr(eng, "_items_sharding", lambda: None)
+    cts = [CountType.EDGE]
+    g = GraphStorage(chrm_gfa, index_edges=True)
+    mask = GraphMask.from_datamgr(GraphMaskParameters(groupby_sample=True), g)
+    res = streamed_total_abaci(g, mask, cts)
+    assert res is not None
+    classic, _ = classic_abaci(g, mask, cts)
+    import numpy as np
+
+    got = np.asarray(res[0][CountType.EDGE].countable)
+    want = np.asarray(classic[CountType.EDGE].countable)
+    assert np.array_equal(got, want)
