@@ -529,10 +529,13 @@ def main() -> None:
 
     # liveness gate: the tunnel can enumerate devices instantly yet stall
     # on the first real transfer — burning the whole attempt budget. A
-    # 90 s probe decides whether the default-backend attempt is worth it.
+    # bounded probe decides whether the default-backend attempt is worth
+    # it (PANACUS_BENCH_PROBE_TIMEOUT seconds; raise it for links whose
+    # first compile+transfer is slow but alive).
+    probe_budget = int(os.environ.get("PANACUS_BENCH_PROBE_TIMEOUT", "90"))
     probe_ok = True
     try:
-        pr = bounded("--probe", default_env, 90)
+        pr = bounded("--probe", default_env, probe_budget)
         probe_ok = pr.returncode == 0 and "probe:" in pr.stdout
         if not probe_ok:
             sys.stderr.write(
@@ -575,8 +578,18 @@ def main() -> None:
                 stdout = stdout.decode(errors="replace")
             if isinstance(stderr, bytes):
                 stderr = stderr.decode(errors="replace")
+
+            def _parseable(ln):
+                try:
+                    return "value" in json.loads(ln)
+                except ValueError:
+                    return False
+
+            # only a COMPLETE stage line counts (a SIGKILL mid-print can
+            # leave a truncated '{...' fragment)
             rc = 0 if any(
-                ln.startswith("{") for ln in stdout.splitlines()
+                ln.startswith("{") and _parseable(ln)
+                for ln in stdout.splitlines()
             ) else -1
             salvaged = rc == 0
             sys.stderr.write(
@@ -595,7 +608,7 @@ def main() -> None:
                     parsed.update(json.loads(ln))
                 except ValueError:
                     pass
-        if rc == 0 and parsed:
+        if rc == 0 and "value" in parsed:
             if "device_bw_frac" in parsed:
                 device_fields = {
                     k: parsed[k]

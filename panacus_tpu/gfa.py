@@ -335,7 +335,12 @@ class GraphStorage:
         # the global tab index is only needed by the numpy fallback
         # parsers; native field parsers (pt_s_spans / pt_index_edges /
         # pt_tokenize) re-scan their own lines, so skip its ~8 bytes of
-        # writes per tab and materialize it lazily (_tabs property)
+        # writes per tab and materialize it lazily (_tabs property).
+        # (The lazy path re-runs the scan — acceptable: it only triggers
+        # for non-native fallbacks, e.g. non-integer node names, whose
+        # per-line numpy parsing dwarfs one extra threaded scan. With no
+        # native lib at all, scan_lines returns None and the flatnonzero
+        # fallback below fills both arrays in this one pass.)
         scanned = scan_lines(buf, effective_threads(), want_tabs=False)
         if scanned is not None:
             nl, tabs = scanned

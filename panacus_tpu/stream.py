@@ -378,6 +378,23 @@ def streamed_total_abaci(
     else:
         if need_edge:
             make_edge_stream()
+        # the pre-join probe is only a hint (edge-only runs estimate with
+        # the node-item count); now that the streams exist, re-check the
+        # REAL placement — pipelining host-placed rows is the
+        # oversubscribed configuration serial mode exists to avoid
+        if all(
+            s is None or s._host_np for s in (node_stream, edge_stream)
+        ):
+            for slab in slabs:
+                batch = graph.all_path_item_runs(slab.path_ids)
+                if batch is None:  # tokenizer bailed: classic path runs
+                    return None
+                if need_node:
+                    consume_node(slab, batch, True)
+                if need_edge:
+                    consume_edge(slab, batch)
+            serial = True  # for the shared finalize below
+    if not serial:
         # pipeline split: the worker thread tokenizes slab i+1 (threaded C,
         # GIL-released); in fused-edge mode it ALSO packs slab i's node
         # row, so the main thread's work is exactly the fused edge

@@ -29,6 +29,9 @@ import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from panacus_tpu.ops import pallas_kernels as pk
 
+VARIANTS = ("read", "pc", "pcl", "cur1", "cur2", "cur3", "fh21", "fh22", "fh23", "parity")
+if len(sys.argv) != 2 or sys.argv[1] not in VARIANTS:
+    sys.exit(f"usage: kernel_probe.py {{{'|'.join(VARIANTS)}}}")
 variant = sys.argv[1]
 n_words, n_items = 32, 1 << 23
 M = jax.random.bits(jax.random.PRNGKey(0), (n_words, n_items), jnp.uint32)
