@@ -639,7 +639,10 @@ def main() -> None:
     if probe_ok and not device_fields:
         sys.stderr.write("[bench] roofline-only retry\n")
         try:
-            r = bounded("--roofline-only", default_env, min(budget, 600))
+            # bounded tighter than a full attempt: the retry only exists
+            # for the stall case, where both attempts may already have
+            # burned their budgets
+            r = bounded("--roofline-only", default_env, min(budget, 300))
             line = None
             for ln in r.stdout.splitlines():
                 if ln.startswith("{"):
