@@ -219,12 +219,16 @@ def test_two_process_cli_hist_matches_single(tmp_path):
     outs = _launch_pair(cmd, cmd, port)
     (rc0, out0, _), (rc1, out1, _) = outs
 
-    def strip_comments(s):
+    def tsv_lines(s):
+        # keep only TSV content: Gloo emits unprefixed connectivity
+        # chatter to stdout under load ("3 is connected to 3 ranks..."),
+        # on top of the "[Gloo]" prefixed lines; every real table line
+        # contains a tab and comments start with '#'
         return [
             ln
             for ln in s.splitlines()
-            if not ln.startswith("#") and not ln.startswith("[Gloo]")
+            if "\t" in ln and not ln.startswith("#")
         ]
 
-    assert strip_comments(out0) == strip_comments(single.stdout)
-    assert strip_comments(out1) == []
+    assert tsv_lines(out0) == tsv_lines(single.stdout)
+    assert tsv_lines(out1) == []
