@@ -29,7 +29,10 @@ import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from panacus_tpu.ops import pallas_kernels as pk
 
-VARIANTS = ("read", "pc", "pcl", "cur1", "cur2", "cur3", "fh21", "fh22", "fh23", "parity")
+VARIANTS = (
+    "read", "pc", "pcl", "cur1", "cur2", "cur3",
+    "fh21", "fh22", "fh23", "old1", "old2", "old3", "parity",
+)
 if len(sys.argv) != 2 or sys.argv[1] not in VARIANTS:
     sys.exit(f"usage: kernel_probe.py {{{'|'.join(VARIANTS)}}}")
 variant = sys.argv[1]
@@ -83,6 +86,54 @@ def pcl_only(Mx, wx):
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
     )(Mx, wx)
+
+def _coarse_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi, n_limbs=3):
+    # the pre-round-3 production formulation (coarse-side weight select,
+    # fine one-hot shared): kept as the A/B baseline the fine-folded
+    # kernel was measured +4% against (230-231 vs 222 GB/s, ABBA)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_lo[:] = jnp.zeros_like(acc_lo); acc_hi[:] = jnp.zeros_like(acc_hi)
+    cov = jnp.sum(jax.lax.population_count(m_ref[:]).astype(jnp.int32), axis=0, keepdims=True)
+    n_vecs = w_ref.shape[0]
+    n_rows = n_limbs * n_vecs
+    n_coarse = acc_lo.shape[0] // n_rows
+    onehot_f = ((cov & (FINE - 1)) == jax.lax.broadcasted_iota(jnp.int32, (FINE, B), 0)).astype(jnp.bfloat16)
+    coarse_eq = (cov >> 5) == jax.lax.broadcasted_iota(jnp.int32, (n_coarse, B), 0)
+    for v in range(n_vecs):
+        wv = w_ref[v:v+1, :]
+        for j in range(n_limbs):
+            wl = (wv >> (8 * j)) & 0xFF
+            wc = jnp.where(coarse_eq, wl, 0).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(wc, onehot_f,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            l = j * n_vecs + v
+            acc_lo[l*n_coarse:(l+1)*n_coarse] += p & 0xFFFF
+            acc_hi[l*n_coarse:(l+1)*n_coarse] += p >> 16
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _o():
+        nr = n_rows * n_coarse
+        out_ref[0:nr] = acc_lo[:]; out_ref[nr:2*nr] = acc_hi[:]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def coarse(Mx, w_vecs, n_bins, n_limbs=3):
+    n_bins_pad = ((n_bins + 127) // 128) * 128
+    n_vecs = w_vecs.shape[0]
+    n_rows = n_limbs * n_vecs
+    n_coarse = n_bins_pad // FINE
+    return pl.pallas_call(
+        functools.partial(_coarse_kernel, n_limbs=n_limbs), grid=(n_items // B,),
+        in_specs=[
+            pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vecs, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2*n_rows*n_coarse, FINE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2*n_rows*n_coarse, FINE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32),
+                        pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32)],
+    )(Mx, w_vecs.astype(jnp.int32))
+
 
 def _fh2_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi, n_limbs=3):
     @pl.when(pl.program_id(0) == 0)
@@ -156,6 +207,13 @@ elif variant.startswith('fh2'):
     @jax.jit
     def chain(M, w):
         def body(i, a): return a + fh2(M, w + i, n_bins, nl).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M, w)
+elif variant.startswith('old'):
+    nl = int(variant[-1])
+    @jax.jit
+    def chain(M, w):
+        def body(i, a): return a + coarse(M, w + i, n_bins, nl).sum()
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
     c = lambda: chain(M, w)
 elif variant == 'parity':
