@@ -597,6 +597,9 @@ def main() -> None:
                 + (" (salvaged partial results)\n" if salvaged else "\n")
             )
             if rc != 0:
+                # surface the child's stderr even when the attempt is
+                # unsalvageable — that's exactly when diagnostics matter
+                sys.stderr.write(stderr)
                 continue
         sys.stderr.write(stderr)
         # merge every JSON line (stage line first, then the roofline-

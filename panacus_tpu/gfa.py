@@ -12,6 +12,7 @@ from __future__ import annotations
 import gzip
 import logging
 import re
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -360,6 +361,7 @@ class GraphStorage:
         self._line_starts = starts
         self._line_ends = ends
         self._tabs_arr = tabs
+        self._tabs_lock = threading.Lock()
 
         is_s = first == ord("S")
         is_p = first == ord("P")
@@ -421,18 +423,21 @@ class GraphStorage:
         """Global tab-position index, materialized on first use — only the
         numpy fallback parsers read it; the native field parsers re-scan
         their own lines."""
-        if self._tabs_arr is None:
-            from .native import scan_lines
-            from .runtime import effective_threads
+        # lock: the async edge-index worker and the main thread can both
+        # fall back here concurrently; without it the full scan runs twice
+        with self._tabs_lock:
+            if self._tabs_arr is None:
+                from .native import scan_lines
+                from .runtime import effective_threads
 
-            scanned = scan_lines(
-                self._buf, effective_threads(), want_tabs=True
-            )
-            self._tabs_arr = (
-                scanned[1]
-                if scanned is not None
-                else np.flatnonzero(self._buf == 9)
-            )
+                scanned = scan_lines(
+                    self._buf, effective_threads(), want_tabs=True
+                )
+                self._tabs_arr = (
+                    scanned[1]
+                    if scanned is not None
+                    else np.flatnonzero(self._buf == 9)
+                )
         return self._tabs_arr
 
     def _ensure_edges(self) -> None:

@@ -670,7 +670,13 @@ def s_spans(
             ctypes.c_int32(n_threads),
         )
         if rc != 0:
-            raise ValueError(f"malformed S line in GFA (line {-rc - 1})")
+            # rc encodes the 0-based index within the S-record subset (with
+            # multiple threads: the first *chunk* to fail, not necessarily
+            # the lowest index)
+            raise ValueError(
+                f"malformed S record #{-rc - 1} in GFA (0-based among S "
+                "lines; may not be the first bad record when threaded)"
+            )
     return name_ends, seq_lens
 
 

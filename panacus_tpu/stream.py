@@ -359,10 +359,14 @@ def streamed_total_abaci(
 
     if serial:
         # Phase A tokenizes and packs node rows while the async L-line edge
-        # indexer still runs; phase B joins it only once tokenization can no
-        # longer fill the wait, then packs the edge rows from the stashed
-        # node CSRs.
-        batches = []
+        # indexer still runs; edge rows are stashed only until the indexer
+        # completes (polled non-blocking each slab), which bounds the peak
+        # RSS of the stash instead of retaining every slab until a phase B.
+        def _edge_index_ready():
+            f = getattr(graph, "_edge_future", None)
+            return f is None or f.done()
+
+        stashed = []
         for slab in slabs:
             batch = graph.all_path_item_runs(slab.path_ids)
             if batch is None:  # tokenizer bailed: let the classic path run
@@ -370,11 +374,21 @@ def streamed_total_abaci(
             if need_node:
                 consume_node(slab, batch, True)
             if need_edge:
-                batches.append(batch)
+                if edge_stream is None and _edge_index_ready():
+                    make_edge_stream()
+                    for s_prev, b_prev in stashed:
+                        consume_edge(s_prev, b_prev)
+                    stashed = []
+                if edge_stream is not None:
+                    consume_edge(slab, batch)
+                else:
+                    stashed.append((slab, batch))
         if need_edge:
-            make_edge_stream()
-            for slab, batch in zip(slabs, batches):
-                consume_edge(slab, batch)
+            if edge_stream is None:  # indexer outlived tokenization: join
+                make_edge_stream()
+            for s_prev, b_prev in stashed:
+                consume_edge(s_prev, b_prev)
+            stashed = []
     else:
         if need_edge:
             make_edge_stream()

@@ -182,7 +182,7 @@ def test_malformed_s_line_raises(tmp_path):
 
     gfa = tmp_path / "bad.gfa"
     gfa.write_text("H\tVN:Z:1.0\nS\tnotab\nP\ta#0#x\t1+\t*\n")
-    with pytest.raises(ValueError, match="malformed S line"):
+    with pytest.raises(ValueError, match="malformed S record"):
         GraphStorage(str(gfa), index_edges=False)
 
 
