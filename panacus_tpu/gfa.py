@@ -541,6 +541,7 @@ class GraphStorage:
         self._node2id: Optional[Dict[bytes, int]] = None
         self._int_names: Optional[np.ndarray] = None
         self._name_spans = (name_starts, name_ends)
+        self._name_hash_cache = False  # lazily built for string-name graphs
         if ints is not None:
             self._int_names = ints
             if n and bool((ints == np.arange(1, n + 1)).all()):
@@ -662,7 +663,7 @@ class GraphStorage:
         (path k of the selection spans ids[prefsum[k]:prefsum[k+1]]), or
         None when the native path doesn't apply (non-integer names, no
         native lib) — callers fall back to path_item_run."""
-        if self._int_name_mode is None or not len(self._pw_starts):
+        if not len(self._pw_starts):
             return None
         from .native import tokenize_batch
         from .runtime import effective_threads
@@ -681,7 +682,12 @@ class GraphStorage:
             node_lens=self.node_lens,
             n_threads=effective_threads(),
         )
-        if self._int_name_mode != "identity":
+        if self._int_name_mode is None:
+            nh = self.name_hash()
+            if nh is None:
+                return None
+            kwargs.update(mode=3, name_hash=nh)
+        elif self._int_name_mode != "identity":
             kwargs.update(
                 mode=2,
                 sorted_vals=self._int_sorted,
@@ -690,6 +696,26 @@ class GraphStorage:
         return tokenize_batch(
             self._buf, spans[:, 0], spans[:, 1], walk, **kwargs
         )
+
+    def name_hash(self):
+        """Native open-addressing hash over the S-line name spans (string-
+        named graphs: tokenize_batch mode 3). Built once, None when the
+        native lib is unavailable."""
+        if self._name_hash_cache is False:
+            from .native import build_name_hash
+
+            ns, ne = self._name_spans
+            self._name_hash_cache = build_name_hash(self._buf, ns, ne)
+        return self._name_hash_cache
+
+    def batch_tokenizable(self) -> bool:
+        """True when all_path_item_runs can run natively (int names, or
+        string names with the native name hash)."""
+        if self._int_name_mode is not None:
+            from .native import get_lib
+
+            return get_lib() is not None
+        return self.name_hash() is not None
 
     def path_item_run(self, path_idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Item ids + orientations (0 fwd / 1 bwd) of one P/W line, vectorized.

@@ -197,7 +197,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, i64,  # mode, n_items
         i64p, i64p, i64,  # sorted_vals, sorted_ids, n_sorted
         u32p, u64p,     # node_lens, bp_out
+        i64p, ctypes.c_int32,  # name_slots, name_log2
+        i64p, i64p,     # name_starts, name_ends
         ctypes.c_int32,  # n_threads
+    ]
+    lib.pt_build_name_hash.restype = i64
+    lib.pt_build_name_hash.argtypes = [
+        u8p, i64p, i64p, i64,  # buf, starts, ends, n
+        i64p, ctypes.c_int32,  # slots, log2_slots
     ]
     return lib
 
@@ -443,9 +450,14 @@ def tokenize_batch(
     sorted_vals: Optional[np.ndarray] = None,
     sorted_ids: Optional[np.ndarray] = None,
     node_lens: Optional[np.ndarray] = None,
+    name_hash: Optional[Tuple[np.ndarray, int, np.ndarray, np.ndarray]] = None,
     n_threads: int = 0,
 ):
     """Tokenize all path/walk spans in one threaded C call.
+
+    Modes: 1 = identity int names, 2 = sorted-int lookup, 3 = string names
+    via `name_hash` = (slots, log2_slots, name_starts, name_ends) from
+    build_name_hash (spans into the same buf).
 
     Returns (ids int64[N], orient uint8[N], prefsum int64[n+1],
     bp uint64[n] or None) or None when the native lib is unavailable or any
@@ -495,6 +507,14 @@ def tokenize_batch(
         if node_lens is not None
         else ctypes.cast(None, u32p)
     )
+    if name_hash is not None:
+        nh_slots, nh_log2, nh_starts, nh_ends = name_hash
+        nhs = nh_slots.ctypes.data_as(i64p)
+        nst = nh_starts.ctypes.data_as(i64p)
+        nen = nh_ends.ctypes.data_as(i64p)
+    else:
+        nh_log2 = 0
+        nhs = nst = nen = ctypes.cast(None, i64p)
     rc = lib.pt_tokenize_batch(
         _as_u8p(buf),
         s.ctypes.data_as(i64p),
@@ -513,11 +533,44 @@ def tokenize_batch(
         ctypes.c_int64(len(sorted_vals) if sorted_vals is not None else 0),
         nl,
         bp.ctypes.data_as(u64p) if bp is not None else ctypes.cast(None, u64p),
+        nhs,
+        ctypes.c_int32(nh_log2),
+        nst,
+        nen,
         ctypes.c_int32(n_threads),
     )
     if rc < 0:
         return None
     return ids[:rc], orient[:rc], prefsum, bp
+
+
+def build_name_hash(
+    buf: np.ndarray, name_starts: np.ndarray, name_ends: np.ndarray
+):
+    """Open-addressing hash over S-line name byte spans (load <= 0.5):
+    slots int64[S] holding 1-based node ids, 0 = empty. Returns
+    (slots, log2_slots, starts, ends) ready for tokenize_batch mode 3, or
+    None (native unavailable / duplicate name)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = len(name_starts)
+    log2_slots = max(int(2 * n - 1).bit_length() if n else 4, 4)
+    slots = np.zeros(1 << log2_slots, dtype=np.int64)
+    s = np.ascontiguousarray(name_starts, dtype=np.int64)
+    e = np.ascontiguousarray(name_ends, dtype=np.int64)
+    rc = lib.pt_build_name_hash(
+        _as_u8p(buf),
+        s.ctypes.data_as(i64p),
+        e.ctypes.data_as(i64p),
+        ctypes.c_int64(n),
+        slots.ctypes.data_as(i64p),
+        ctypes.c_int32(log2_slots),
+    )
+    if rc != 0:
+        return None
+    return slots, log2_slots, s, e
 
 
 def interval_walk(

@@ -216,6 +216,12 @@ typedef struct {
     int64_t n_sorted;
     const uint32_t* node_lens;
     uint64_t* bp_out;   /* n_spans or NULL */
+    /* mode 3 (string names): open-addressing hash, slot = node id or 0;
+     * nh_starts/nh_ends are the S-line name byte spans in buf */
+    const int64_t* nh_slots;
+    int32_t nh_log2;
+    const int64_t* nh_starts;
+    const int64_t* nh_ends;
     int64_t err;        /* 0 ok, else -(span_idx+1) of first failure */
     int64_t next;       /* work-stealing cursor (guarded by lock) */
     int phase;
@@ -253,8 +259,119 @@ static void count_span(batch_ctx* c, int64_t k)
     c->counts[k] = n;
 }
 
+/* ---- string-name resolution (mode 3) --------------------------------------
+ *
+ * GFA segment names need not be integers; tools emit arbitrary strings
+ * ("s1", "chr1_0001", ...). Mode 3 resolves each path/walk token through an
+ * open-addressing FNV-1a hash over the S-line name byte spans (load <= 0.5,
+ * linear probing, memcmp on hit candidates). The table is built once per
+ * graph (pt_build_name_hash) and shared read-only by all tokenizer threads.
+ */
+
+static inline uint64_t name_hash_bytes(const uint8_t* p, int64_t len)
+{
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t i = 0; i < len; i++) {
+        h ^= p[i];
+        h *= 1099511628211ULL;
+    }
+    /* Fibonacci mix: FNV's low bits are weak for short keys */
+    return h * 11400714819323198485ULL;
+}
+
+/* Build the name hash: slots[j] = node id (1-based) or 0 = empty.
+ * Returns 0, or -(i+1) on a duplicate name (caller already dedupes, this
+ * is a defensive check). */
+EXPORT int64_t pt_build_name_hash(
+    const uint8_t* buf, const int64_t* starts, const int64_t* ends,
+    int64_t n, int64_t* slots, int32_t log2_slots)
+{
+    uint64_t mask = (1ULL << log2_slots) - 1;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* p = buf + starts[i];
+        int64_t len = ends[i] - starts[i];
+        uint64_t j = (name_hash_bytes(p, len) >> (64 - log2_slots)) & mask;
+        while (slots[j]) {
+            int64_t other = slots[j] - 1;
+            if (ends[other] - starts[other] == len
+                && memcmp(buf + starts[other], p, (size_t)len) == 0)
+                return -(i + 1);
+            j = (j + 1) & mask;
+        }
+        slots[j] = i + 1;
+    }
+    return 0;
+}
+
+static inline int64_t name_lookup(
+    const batch_ctx* c, const uint8_t* p, int64_t len)
+{
+    uint64_t mask = (1ULL << c->nh_log2) - 1;
+    uint64_t j = (name_hash_bytes(p, len) >> (64 - c->nh_log2)) & mask;
+    while (c->nh_slots[j]) {
+        int64_t cand = c->nh_slots[j] - 1;
+        if (c->nh_ends[cand] - c->nh_starts[cand] == len
+            && memcmp(c->buf + c->nh_starts[cand], p, (size_t)len) == 0)
+            return cand + 1;
+        j = (j + 1) & mask;
+    }
+    return 0;
+}
+
+/* Mode-3 parse of one span: tokens are arbitrary name strings; P-line
+ * token = "name{+|-}" (orientation is the LAST byte, matching the numpy
+ * fallback), W-line token = "{>|<}name" with the name running to the next
+ * '>'/'<'. */
+static int parse_span_names(batch_ctx* c, int64_t k)
+{
+    const uint8_t* s = c->buf;
+    int64_t a = c->starts[k], b = c->ends[k];
+    int64_t* ids = c->out_ids + c->prefsum[k];
+    uint8_t* orient = c->out_orient + c->prefsum[k];
+    int64_t cnt = 0;
+    uint64_t bp = 0;
+    if (c->walk[k]) {
+        int64_t i = a;
+        while (i < b) {
+            uint8_t o = s[i];
+            if (o == '>') orient[cnt] = 0;
+            else if (o == '<') orient[cnt] = 1;
+            else return -1;
+            i++;
+            int64_t ns = i;
+            while (i < b && s[i] != '>' && s[i] != '<') i++;
+            if (i == ns) return -1;
+            int64_t id = name_lookup(c, s + ns, i - ns);
+            if (!id) return -1;
+            ids[cnt++] = id;
+            if (c->node_lens) bp += c->node_lens[id];
+        }
+    } else {
+        int64_t i = a;
+        while (i < b) {
+            int64_t ns = i;
+            while (i < b && s[i] != ',') i++;
+            int64_t ne = i;
+            if (ne - ns < 2) return -1;
+            uint8_t o = s[ne - 1];
+            if (o == '+') orient[cnt] = 0;
+            else if (o == '-') orient[cnt] = 1;
+            else return -1;
+            int64_t id = name_lookup(c, s + ns, ne - 1 - ns);
+            if (!id) return -1;
+            ids[cnt++] = id;
+            if (c->node_lens) bp += c->node_lens[id];
+            if (i < b) i++; /* skip ',' */
+        }
+    }
+    if (cnt != c->prefsum[k + 1] - c->prefsum[k]) return -1;
+    if (c->bp_out) c->bp_out[k] = bp;
+    return 0;
+}
+
 static int parse_span(batch_ctx* c, int64_t k)
 {
+    if (c->mode == 3) return parse_span_names(c, k);
     const uint8_t* s = c->buf;
     int64_t a = c->starts[k], b = c->ends[k];
     int64_t* ids = c->out_ids + c->prefsum[k];
@@ -344,6 +461,7 @@ EXPORT int64_t pt_count_tokens(
     batch_ctx c = {
         buf, starts, ends, walk, n_spans, prefsum, counts,
         NULL, NULL, 0, 0, NULL, NULL, 0, NULL, NULL,
+        NULL, 0, NULL, NULL,
         0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     run_phase(&c, 0, n_threads);
@@ -368,12 +486,15 @@ EXPORT int64_t pt_tokenize_batch(
     int32_t mode, int64_t n_items,
     const int64_t* sorted_vals, const int64_t* sorted_ids, int64_t n_sorted,
     const uint32_t* node_lens, uint64_t* bp_out,
+    const int64_t* name_slots, int32_t name_log2,
+    const int64_t* name_starts, const int64_t* name_ends,
     int32_t n_threads)
 {
     batch_ctx c = {
         buf, starts, ends, walk, n_spans, prefsum, counts,
         out_ids, out_orient, mode, n_items,
         sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
+        name_slots, name_log2, name_starts, name_ends,
         0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     int64_t tot = prefsum[n_spans];

@@ -191,13 +191,23 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     """Multi-host form of stream.streamed_total_abaci: this process
     tokenizes only its word block's paths; M assembles globally.
 
+    Exclude-only masks with whole-path rows (no coordinates) run
+    path-sliced too: whole-path exclusion is item-set zeroing (the classic
+    build's `M[:, excluded] = 0`, abacus.build_membership_host), so each
+    process marks the excluded items of the paths it already tokenizes,
+    the bitmaps are allgather-ORed, and every process zeroes its own word
+    rows before assembly (reference semantics:
+    src/graph_broker/abacus.rs:427-473 exclude tables).
+
     Returns None (caller falls back to the classic redundant-compute path,
     where every host itemizes the full graph and the engine still shards M
-    over the global mesh) when: subset/exclude masks are present, the
-    native tokenizer is unavailable, there are no paths, or the caller
-    needs the full host-side itemization (need_itemized: AbacusByGroup
-    table export reads per-path item runs, which a path-sliced build
-    cannot provide)."""
+    over the global mesh) when: subset masks or coordinate excludes are
+    present (the per-path interval walk needs per-path bp accounting that
+    a path-sliced build cannot merge — see README Compatibility), the
+    native tokenizer is unavailable (incl. string-name graphs without the
+    mode-3 name hash), there are no paths, or the caller needs the full
+    host-side itemization (need_itemized: AbacusByGroup table export reads
+    per-path item runs, which a path-sliced build cannot provide)."""
     import jax
 
     from ..abacus import AbacusByTotal, path_order_groups
@@ -210,9 +220,20 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
 
     if need_itemized:
         return None
-    if mask.include_coords is not None or mask.exclude_coords is not None:
+    if mask.include_coords is not None:
         return None
-    if getattr(graph, "_int_name_mode", None) is None:
+    exc_pids = None
+    if mask.exclude_coords is not None:
+        big = (1 << 63) - 1
+        exc_map = mask.build_subpath_map(mask.exclude_coords)
+        if any(v != [(0, big)] for v in exc_map.values()):
+            return None  # coordinate excludes need the interval walk
+        exc_pids = frozenset(
+            i
+            for i, seg in enumerate(graph.path_segments)
+            if seg.id() in exc_map
+        )
+    if not graph.batch_tokenizable():
         return None
     n_paths = len(graph.path_segments)
     if n_paths == 0:
@@ -269,11 +290,26 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     node_len = np.zeros(n_paths, dtype=np.int64)
     bp_len = np.zeros(n_paths, dtype=np.int64)
     have_len = np.zeros(n_paths, dtype=np.int64)
+    node_excl = (
+        np.zeros(node_engine.n_items_pad, dtype=bool)
+        if (exc_pids and need_node)
+        else None
+    )
+    edge_excl = (
+        np.zeros(edge_engine.n_items_pad, dtype=bool)
+        if (exc_pids and need_edge)
+        else None
+    )
     for slab in my_slabs:
         batch = graph.all_path_item_runs(slab.path_ids)
         if batch is None:
             return None
         ids, orient, prefsum, bp = batch
+        exc_local = (
+            [k for k, p in enumerate(slab.path_ids) if int(p) in exc_pids]
+            if exc_pids
+            else []
+        )
         if need_node:
             counts = np.diff(prefsum)
             node_len[slab.path_ids] = counts
@@ -283,11 +319,44 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
                 R_node[slab.word - mine.start] |= _pack_row(
                     ids, prefsum, slab.gidx_rel, node_engine.n_items_pad
                 )
-        if need_edge and slab.word >= 0:
+            for k in exc_local:
+                node_excl[ids[prefsum[k] : prefsum[k + 1]]] = True
+        if need_edge and (slab.word >= 0 or exc_local):
             eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
-            R_edge[slab.word - mine.start] |= _pack_row(
-                eids, e_pref, slab.gidx_rel, edge_engine.n_items_pad
+            if slab.word >= 0:
+                R_edge[slab.word - mine.start] |= _pack_row(
+                    eids, e_pref, slab.gidx_rel, edge_engine.n_items_pad
+                )
+            for k in exc_local:
+                edge_excl[eids[e_pref[k] : e_pref[k + 1]]] = True
+
+    if exc_pids:
+        # merge each process's excluded-item marks and zero those columns in
+        # the local word rows BEFORE assembly (every word row is owned by
+        # exactly one process, so local zeroing == global column zeroing)
+        parts = [
+            np.packbits(t) for t in (node_excl, edge_excl) if t is not None
+        ]
+        packed = np.concatenate(parts)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(packed)
+        ).reshape(-1, len(packed))
+        merged = np.bitwise_or.reduce(gathered, axis=0)
+        off = 0
+        if node_excl is not None:
+            nb = len(parts[0])
+            idx = np.flatnonzero(
+                np.unpackbits(merged[:nb])[: node_engine.n_items_pad]
             )
+            idx = idx[idx != 0]  # sentinel slot untouched (already zero)
+            R_node[:, idx] = 0
+            off = nb
+        if edge_excl is not None:
+            idx = np.flatnonzero(
+                np.unpackbits(merged[off:])[: edge_engine.n_items_pad]
+            )
+            idx = idx[idx != 0]
+            R_edge[:, idx] = 0
 
     if need_node:
         node_engine.M = assemble_global_matrix(

@@ -234,7 +234,7 @@ def streamed_total_abaci(
         return None
     if mask.include_coords is not None or mask.exclude_coords is not None:
         return None
-    if getattr(graph, "_int_name_mode", None) is None:
+    if not graph.batch_tokenizable():
         return None
     n_paths = len(graph.path_segments)
     if n_paths == 0:

@@ -34,25 +34,38 @@ def main():
         "n_processes": jax.process_count(),
         "n_devices": len(jax.devices()),
     }
-    if mode == "hist":
-        reqs = {Req.graph(gfa), Req.NODE, Req.BP, Req.HIST, Req.PATH_LENS}
-        gb.change_graph_state(
-            GraphState(graph=gfa, name="mh", grouping=Grouping.sample()),
-            reqs,
-            nice=False,
-        )
+    if mode in ("hist", "exclude"):
+        reqs = {
+            Req.graph(gfa),
+            Req.NODE,
+            Req.BP,
+            Req.HIST,
+            Req.PATH_LENS,
+        }
+        state = GraphState(graph=gfa, name="mh", grouping=Grouping.sample())
+        if mode == "exclude":
+            state.exclude = sys.argv[4]
+            reqs.add(Req.EDGE)
+        gb.change_graph_state(state, reqs, nice=False)
         hists = gb.get_hists()
         eng = gb.get_abacus_by_total(CountType.NODE).engine
         mesh = item_mesh_of(eng.M)
         res.update(
             m_sharded=mesh is not None
             and mesh.devices.size == len(jax.devices()),
+            # the path-sliced multihost build carries no host item tables;
+            # the redundant-itemization fallback does
+            path_sliced=gb._itemized.item_tables[0] is None,
             node_hist=[int(x) for x in hists[CountType.NODE].coverage],
             bp_hist=[int(x) for x in hists[CountType.BP].coverage],
             paths_len_total=sorted(
                 (str(k), v[0], v[1]) for k, v in gb.get_path_lens().items()
             ),
         )
+        if mode == "exclude":
+            res["edge_hist"] = [
+                int(x) for x in hists[CountType.EDGE].coverage
+            ]
     elif mode == "group":
         # AbacusByGroup requirement forces the redundant-itemization
         # fallback (need_itemized) — M must still shard globally and

@@ -33,15 +33,16 @@ def _free_port() -> int:
     return port
 
 
-def _write_fixture(path: str):
-    """40 single-path samples over integer-named nodes; returns the
-    per-path visit lists for the oracle."""
+def _write_fixture(path: str, namer=str):
+    """40 single-path samples; node names via `namer` (str -> integer
+    names, custom -> string names exercising the mode-3 name hash).
+    Returns the per-path visit lists for the oracle."""
     rng = np.random.default_rng(7)
     lens = rng.integers(1, 9, size=N_NODES + 1)
     lens[0] = 0
     lines = ["H\tVN:Z:1.0"]
     for v in range(1, N_NODES + 1):
-        lines.append(f"S\t{v}\t{'A' * int(lens[v])}")
+        lines.append(f"S\t{namer(v)}\t{'A' * int(lens[v])}")
     visits_all = []
     edge_set = set()
     path_lines = []
@@ -53,14 +54,14 @@ def _write_fixture(path: str):
         visits_all.append(visits)
         for a, b in zip(visits[:-1], visits[1:]):
             edge_set.add((int(a), int(b)))
-        toks = ",".join(f"{v}+" for v in visits)
+        toks = ",".join(f"{namer(v)}+" for v in visits)
         path_lines.append(f"P\ts{p}#0#chr1\t{toks}\t*")
     for a, b in sorted(edge_set):
-        lines.append(f"L\t{a}\t+\t{b}\t+\t0M")
+        lines.append(f"L\t{namer(a)}\t+\t{namer(b)}\t+\t0M")
     lines.extend(path_lines)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    return visits_all, lens
+    return visits_all, lens, sorted(edge_set)
 
 
 def _oracle_hists(visits_all, lens):
@@ -128,7 +129,7 @@ def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240, retries=1):
 
 def test_two_process_broker_matches_oracle(tmp_path):
     gfa = str(tmp_path / "mh.gfa")
-    visits_all, lens = _write_fixture(gfa)
+    visits_all, lens, _ = _write_fixture(gfa)
     node_hist, bp_hist = _oracle_hists(visits_all, lens)
     port = _free_port()
     out0, out1 = str(tmp_path / "r0.json"), str(tmp_path / "r1.json")
@@ -142,6 +143,7 @@ def test_two_process_broker_matches_oracle(tmp_path):
     r1 = json.load(open(out1))
     assert r0["n_processes"] == 2 and r0["n_devices"] == 4
     assert r0["m_sharded"], "M must shard over the global 4-device mesh"
+    assert r0["path_sliced"], "expected the word-block path-sliced build"
     # both processes hold the SAME fully-merged results
     assert r0["node_hist"] == r1["node_hist"]
     assert r0["bp_hist"] == r1["bp_hist"]
@@ -170,7 +172,7 @@ def test_two_process_group_abacus_fallback(tmp_path):
     M still shards globally, and ordered growth + similarity run through
     the SPMD programs with identical, oracle-matching results."""
     gfa = str(tmp_path / "mh_grp.gfa")
-    visits_all, lens = _write_fixture(gfa)
+    visits_all, lens, _ = _write_fixture(gfa)
     port = _free_port()
     out0, out1 = str(tmp_path / "g0.json"), str(tmp_path / "g1.json")
     worker = os.path.join(HERE, "multihost_worker.py")
@@ -196,6 +198,90 @@ def test_two_process_group_abacus_fallback(tmp_path):
         want_ordered.append(float(seen[1:].sum()))
     assert r0["ordered"] == want_ordered
     assert r0["sim_trace"] == float(mem.sum())
+
+
+def test_two_process_excluded_runs_path_sliced(tmp_path):
+    """Whole-path (name-only) exclude BED rows no longer force the
+    redundant fallback: the word-block path-sliced build runs, each
+    process marks the excluded items it tokenizes, bitmaps allgather-OR,
+    and node/bp/edge hists match the independent oracle."""
+    gfa = str(tmp_path / "mh_exc.gfa")
+    visits_all, lens, edges = _write_fixture(gfa)
+    excluded = [0, 13]  # different group words
+    bed = tmp_path / "exc.bed"
+    bed.write_text("".join(f"s{p}#0#chr1\n" for p in excluded))
+
+    # oracle: excluded groups lose their columns; every item visited by an
+    # excluded path counts 0 (whole-column zeroing)
+    keep = [p for p in range(N_SAMPLES) if p not in excluded]
+    n_groups = len(keep)
+    mem = np.zeros((n_groups, N_NODES + 1), dtype=bool)
+    for gi, p in enumerate(keep):
+        mem[gi, visits_all[p]] = True
+    excl_items = np.zeros(N_NODES + 1, dtype=bool)
+    for p in excluded:
+        excl_items[visits_all[p]] = True
+    cov = mem.sum(axis=0)
+    cov[excl_items] = 0
+    node_hist = np.bincount(cov[1:], minlength=n_groups + 1)
+    bp_hist = np.bincount(
+        cov[1:], weights=lens[1:].astype(np.float64), minlength=n_groups + 1
+    ).astype(np.int64)
+    eidx = {e: i for i, e in enumerate(edges)}
+    emem = np.zeros((n_groups, len(edges)), dtype=bool)
+    for gi, p in enumerate(keep):
+        v = visits_all[p]
+        for a, b in zip(v[:-1], v[1:]):
+            emem[gi, eidx[(int(a), int(b))]] = True
+    excl_e = np.zeros(len(edges), dtype=bool)
+    for p in excluded:
+        v = visits_all[p]
+        for a, b in zip(v[:-1], v[1:]):
+            excl_e[eidx[(int(a), int(b))]] = True
+    ecov = emem.sum(axis=0)
+    ecov[excl_e] = 0
+    edge_hist = np.bincount(ecov, minlength=n_groups + 1)
+
+    port = _free_port()
+    out0, out1 = str(tmp_path / "e0.json"), str(tmp_path / "e1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0, "exclude", str(bed)],
+        [sys.executable, worker, gfa, out1, "exclude", str(bed)],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["path_sliced"], "exclude-only run should stay path-sliced"
+    assert r0["m_sharded"]
+    assert r0["node_hist"] == r1["node_hist"] == node_hist.tolist()
+    assert r0["bp_hist"] == bp_hist.tolist()
+    assert r0["edge_hist"] == edge_hist.tolist()
+    # paths_len still covers EVERY path (excluded ones walk the trailing
+    # slab) with full lengths, matching the classic itemizer
+    assert len(r0["paths_len_total"]) == N_SAMPLES
+
+
+def test_two_process_string_names_path_sliced(tmp_path):
+    """String node names run path-sliced through the mode-3 native name
+    hash instead of falling back to redundant itemization."""
+    gfa = str(tmp_path / "mh_str.gfa")
+    visits_all, lens, _ = _write_fixture(gfa, namer=lambda v: f"seg.{v}x")
+    node_hist, bp_hist = _oracle_hists(visits_all, lens)
+    port = _free_port()
+    out0, out1 = str(tmp_path / "s0.json"), str(tmp_path / "s1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0],
+        [sys.executable, worker, gfa, out1],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["path_sliced"], "string-named graph should stay path-sliced"
+    assert r0["m_sharded"]
+    assert r0["node_hist"] == r1["node_hist"] == node_hist.tolist()
+    assert r0["bp_hist"] == bp_hist.tolist()
 
 
 def test_two_process_cli_hist_matches_single(tmp_path):

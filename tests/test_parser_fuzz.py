@@ -29,11 +29,22 @@ CTS = [CountType.NODE, CountType.BP, CountType.EDGE]
 
 def _random_gfa(tmp_path, rng, int_names: bool, with_walks: bool):
     n_nodes = int(rng.integers(20, 120))
-    names = (
-        [str(v) for v in rng.permutation(np.arange(1, n_nodes + 1))]
-        if int_names
-        else [f"n{v}x" for v in range(1, n_nodes + 1)]
-    )
+    if int_names:
+        names = [str(v) for v in rng.permutation(np.arange(1, n_nodes + 1))]
+    else:
+        # adversarial string names: variable length, digit-heavy, shared
+        # prefixes/suffixes (exercise the mode-3 name-hash memcmp)
+        chars = list("abcXYZ0123456789_.")
+        names = []
+        seen = set()
+        for v in range(n_nodes):
+            nm = "".join(
+                rng.choice(chars, size=int(rng.integers(1, 10)))
+            )
+            if nm in seen or nm.isdigit():
+                nm = f"{nm}_u{v}"
+            seen.add(nm)
+            names.append(nm)
     lens = rng.integers(1, 12, size=n_nodes)
     lines = ["H\tVN:Z:1.0"]
     for i, nm in enumerate(names):
@@ -123,9 +134,10 @@ def test_native_vs_fallback_random_graphs(tmp_path, monkeypatch, seed):
 
     native_classic = _hists_classic(gfa)
     native_streamed = _hists_streamed(gfa)
-    if int_names:
-        assert native_streamed is not None
-        assert native_streamed == native_classic
+    # the streamed build engages for int names AND (since the mode-3 name
+    # hash) string names whenever the native lib is present
+    assert native_streamed is not None
+    assert native_streamed == native_classic
 
     # flip every native binding to its numpy fallback
     monkeypatch.setattr(native, "get_lib", lambda: None)
