@@ -454,6 +454,86 @@ def run_inner() -> None:
     print(json.dumps(out))
 
 
+def run_inner_tpu() -> None:
+    """TPU-HBM-resident end-to-end artifact: force the placement policy to
+    the accelerator (PANACUS_TPU_FORCE_DEVICE) and run the PRODUCTION
+    counting path on the bench graph — streamed row feed with async
+    upload, pallas fused hist, growth curves, plus ordered growth and
+    similarity through the group abacus on the same resident engine.
+    Emits its own JSON line with placement (must be tpu-hbm) + stages."""
+    os.environ["PANACUS_TPU_FORCE_DEVICE"] = "1"
+    if not os.path.exists(CACHE):
+        make_graph(CACHE)
+    size_mb = os.path.getsize(CACHE) / 1e6
+
+    stages = {}
+    mbps_all = _timed_stage(
+        "histgrowth -c all (tpu-resident)",
+        lambda: run_histgrowth(CACHE, "all"),
+        size_mb,
+        BASELINE_ALL_MBPS,
+        reps=3,
+    )
+    placement = getattr(run_histgrowth, "placement", "unknown")
+    stages["all"] = round(mbps_all, 1)
+    out = {
+        "metric": "histgrowth_all_throughput",
+        "value": round(mbps_all, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps_all / BASELINE_ALL_MBPS, 3),
+        "placement": placement,
+        "stages": stages,
+        "forced_device": True,
+    }
+    # flush before the group-abacus tail (it compiles more programs over
+    # the tunnel and could stall; the orchestrator salvages partial lines)
+    print(json.dumps(out), flush=True)
+
+    try:
+        from panacus_tpu.broker import GraphBroker, GraphState, Req
+        from panacus_tpu.config import Grouping
+        from panacus_tpu.utils import CountType, Threshold
+
+        gb = GraphBroker()
+        t0 = time.time()
+        gb.change_graph_state(
+            GraphState(
+                graph=CACHE, name="bench", grouping=Grouping.haplotype()
+            ),
+            {
+                Req.graph(CACHE),
+                Req.NODE,
+                Req.HIST,
+                Req.abacus_by_group(CountType.NODE),
+            },
+            nice=False,
+        )
+        t_build = time.time() - t0
+        ab = gb.get_abacus_by_group()
+        group_placement = _placement_of(ab.engine)
+        t1 = time.time()
+        og = ab.calc_growth(Threshold.absolute(1), Threshold.rel(0.0))
+        t_ordered = time.time() - t1
+        t2 = time.time()
+        inter, _sizes = ab.similarity_matrix()
+        t_sim = time.time() - t2
+        out["group_stages"] = {
+            "placement": group_placement,
+            "build_s": round(t_build, 2),
+            "ordered_s": round(t_ordered, 2),
+            "similarity_s": round(t_sim, 2),
+            "ordered_last": float(og[-1]),
+            "sim_trace": float(np.asarray(inter).trace()),
+        }
+        sys.stderr.write(
+            f"[bench] tpu-resident group abacus: ordered {t_ordered:.2f}s, "
+            f"similarity {t_sim:.2f}s (placement {group_placement})\n"
+        )
+    except Exception as e:
+        sys.stderr.write(f"[bench] tpu-resident group stage failed: {e}\n")
+    print(json.dumps(out))
+
+
 def run_probe() -> None:
     """Minimal accelerator liveness check: a real transfer + compute.
     Tunneled backends can enumerate devices instantly yet stall on the
@@ -493,6 +573,9 @@ def main() -> None:
     fall back to CPU if it stalls or fails. Always emits one JSON line."""
     import subprocess
 
+    if "--inner-tpu" in sys.argv:
+        run_inner_tpu()
+        return
     if "--inner" in sys.argv:
         run_inner()
         return
@@ -548,11 +631,18 @@ def main() -> None:
 
     attempts = []
     if probe_ok:
-        attempts.append(("default backend", default_env, budget))
+        attempts.append(("default backend", "--inner", default_env, budget))
+        # tpu-resident validation attempt: forces M into HBM and runs the
+        # full production path (stream feed -> pallas hist -> growth ->
+        # ordered -> similarity); recorded separately, never the headline
+        tpu_env = dict(default_env, PANACUS_TPU_FORCE_DEVICE="1")
+        attempts.append(
+            ("tpu resident", "--inner-tpu", tpu_env, min(budget, 600))
+        )
     cpu_env = dict(default_env)
     cpu_env["JAX_PLATFORMS"] = "cpu"
     cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
-    attempts.append(("cpu host", cpu_env, budget))
+    attempts.append(("cpu host", "--inner", cpu_env, budget))
 
     # run every backend and report the best end-to-end throughput; the
     # roofline fields always come from the accelerator attempt, and every
@@ -562,11 +652,12 @@ def main() -> None:
     results = []
     device_fields = {}
     attempt_summaries = {}
-    for name, env, t in attempts:
+    tpu_resident = None
+    for name, mode, env, t in attempts:
         sys.stderr.write(f"[bench] attempt: {name} (timeout {t}s)\n")
         salvaged = False
         try:
-            r = bounded("--inner", env, t)
+            r = bounded(mode, env, t)
             stdout, stderr, rc = r.stdout, r.stderr, r.returncode
         except subprocess.TimeoutExpired as te:
             # the inner prints (and flushes) its end-to-end JSON before
@@ -628,7 +719,22 @@ def main() -> None:
                 "placement": parsed.get("placement", "unknown"),
                 "stages": parsed.get("stages", {}),
             }
-            results.append((name, parsed))
+            if name == "tpu resident":
+                # validation artifact (M in HBM end-to-end), not a headline
+                # candidate — the host path is expected to win on a slow
+                # tunnel and that must stay visible
+                tpu_resident = {
+                    k: parsed[k]
+                    for k in (
+                        "value",
+                        "placement",
+                        "stages",
+                        "group_stages",
+                    )
+                    if k in parsed
+                }
+            else:
+                results.append((name, parsed))
             sys.stderr.write(
                 f"[bench] {name}: {parsed['value']} MB/s "
                 f"(M placement: {parsed.get('placement')})\n"
@@ -658,12 +764,41 @@ def main() -> None:
                 }
         except subprocess.TimeoutExpired:
             sys.stderr.write("[bench] roofline-only retry timed out\n")
+    # tpu-marked hardware test status (gated on the same probe): record
+    # pass/fail in the bench JSON so every round carries the evidence
+    tpu_tests = None
+    if probe_ok and not os.environ.get("PANACUS_BENCH_SKIP_TPU_TESTS"):
+        test_env = dict(default_env, PANACUS_TEST_TPU="1")
+        try:
+            tr = subprocess.run(
+                [sys.executable, "-m", "pytest", "tests", "-m", "tpu", "-q"],
+                env=test_env,
+                timeout=int(
+                    os.environ.get("PANACUS_BENCH_TPU_TEST_TIMEOUT", "600")
+                ),
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            lines = [ln for ln in tr.stdout.strip().splitlines() if ln]
+            tpu_tests = {
+                "rc": tr.returncode,
+                "summary": (lines[-1] if lines else "")[-160:],
+            }
+        except subprocess.TimeoutExpired:
+            tpu_tests = {"rc": -1, "summary": "timed out"}
+        sys.stderr.write(f"[bench] pytest -m tpu: {tpu_tests}\n")
+
     if results:
         best_name, best = max(results, key=lambda kv: kv[1]["value"])
         sys.stderr.write(f"[bench] best backend: {best_name}\n")
         best.update(device_fields)
         best["backend"] = best_name
         best["attempts"] = attempt_summaries
+        if tpu_resident is not None:
+            best["tpu_resident"] = tpu_resident
+        if tpu_tests is not None:
+            best["tpu_tests"] = tpu_tests
         print(json.dumps(best))
         return
     # last resort: report zero throughput rather than nothing
