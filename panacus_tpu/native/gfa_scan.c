@@ -1212,11 +1212,49 @@ EXPORT void pt_build_edge_adj(
     }
 }
 
+/* Canonicalize the consecutive pair at token k into (cu, vkey) — the
+ * adjacency row index and packed (v, o1, o2) search key. */
+static inline void canon_pair(
+    const int64_t* ids, const uint8_t* orient, int64_t k,
+    int64_t* cu, uint64_t* vkey)
+{
+    /* branchless: the swap direction is ~50/50 data-dependent, so a
+     * branch here mispredicts every other pair; ternaries compile to
+     * cmov/select */
+    int64_t u = ids[k], v = ids[k + 1];
+    uint64_t o1 = orient[k], o2 = orient[k + 1];
+    int swap = (u > v) | ((u == v) & (int)o1);
+    int64_t lo = swap ? v : u;
+    uint64_t hi = (uint64_t)(swap ? u : v);
+    uint64_t p1 = swap ? (o2 ^ 1u) : o1;
+    uint64_t p2 = swap ? (o1 ^ 1u) : o2;
+    *cu = lo;
+    *vkey = (hi << 2) | (p1 << 1) | p2;
+}
+
+/* Pairs per prefetch block: the row_off / adj_ent / membership-row
+ * accesses are independent random DRAM reads, so staging them in blocks
+ * converts a serial ~3-miss chain per pair into batched misses with full
+ * memory-level parallelism (same idea as the L-line indexer's prefetched
+ * hash inserts). */
+#define ADJ_BLK 64
+
 static inline int64_t edge_adj_get(
     const int64_t* row_off, const uint64_t* adj_ent,
     int64_t u, uint64_t vkey)
 {
     int64_t a = row_off[u], b = row_off[u + 1];
+    if (b - a <= 8) {
+        /* full-scan OR with selects: the trip count is data-independent
+         * and there is no value-dependent exit branch to mispredict
+         * (rows are canonical-unique, so at most one entry matches) */
+        int64_t e = 0;
+        for (int64_t i = a; i < b; i++) {
+            uint64_t ent = adj_ent[i];
+            e |= (ent >> 32) == vkey ? (int64_t)(ent & 0xFFFFFFFFu) : 0;
+        }
+        return e;
+    }
     if (b - a <= 32) {
         for (int64_t i = a; i < b; i++) {
             uint64_t k = adj_ent[i] >> 32;
@@ -1259,27 +1297,28 @@ static void* adj_worker(void* arg)
         if (p < 0) return NULL;
         int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
         int64_t* out = c->out_eids + c->out_pref[p];
-        for (int64_t k = a; k + 1 < b; k++) {
-            int64_t u = c->ids[k], v = c->ids[k + 1];
-            uint8_t o1 = c->orient[k], o2 = c->orient[k + 1];
-            uint64_t cu, cv, co1, co2;
-            if (u > v || (u == v && o1)) {
-                cu = (uint64_t)v; co1 = o2 ^ 1u;
-                cv = (uint64_t)u; co2 = o1 ^ 1u;
-            } else {
-                cu = (uint64_t)u; co1 = o1;
-                cv = (uint64_t)v; co2 = o2;
+        int64_t cu_b[ADJ_BLK];
+        uint64_t vk_b[ADJ_BLK];
+        for (int64_t base = a; base + 1 < b; base += ADJ_BLK) {
+            int64_t n = b - 1 - base;
+            if (n > ADJ_BLK) n = ADJ_BLK;
+            for (int64_t i = 0; i < n; i++) {
+                canon_pair(c->ids, c->orient, base + i, &cu_b[i], &vk_b[i]);
+                __builtin_prefetch(&c->row_off[cu_b[i]], 0, 1);
             }
-            int64_t eid = edge_adj_get(
-                c->row_off, c->adj_ent,
-                (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
-            if (!eid) {
-                pthread_mutex_lock(&c->lock);
-                if (!c->err) c->err = -(k + 1);
-                pthread_mutex_unlock(&c->lock);
-                return NULL;
+            for (int64_t i = 0; i < n; i++)
+                __builtin_prefetch(&c->adj_ent[c->row_off[cu_b[i]]], 0, 1);
+            for (int64_t i = 0; i < n; i++) {
+                int64_t eid = edge_adj_get(
+                    c->row_off, c->adj_ent, cu_b[i], vk_b[i]);
+                if (!eid) {
+                    pthread_mutex_lock(&c->lock);
+                    if (!c->err) c->err = -(base + i + 1);
+                    pthread_mutex_unlock(&c->lock);
+                    return NULL;
+                }
+                *out++ = eid;
             }
-            *out++ = eid;
         }
     }
 }
@@ -1355,27 +1394,31 @@ static void* pack_worker(void* argp)
         if (p < 0) return NULL;
         uint32_t bit = (uint32_t)1 << c->gbit[p];
         int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
-        for (int64_t k = a; k + 1 < b; k++) {
-            int64_t u = c->ids[k], v = c->ids[k + 1];
-            uint8_t o1 = c->orient[k], o2 = c->orient[k + 1];
-            uint64_t cu, cv, co1, co2;
-            if (u > v || (u == v && o1)) {
-                cu = (uint64_t)v; co1 = o2 ^ 1u;
-                cv = (uint64_t)u; co2 = o1 ^ 1u;
-            } else {
-                cu = (uint64_t)u; co1 = o1;
-                cv = (uint64_t)v; co2 = o2;
+        int64_t cu_b[ADJ_BLK];
+        uint64_t vk_b[ADJ_BLK];
+        int64_t eid_b[ADJ_BLK];
+        for (int64_t base = a; base + 1 < b; base += ADJ_BLK) {
+            int64_t n = b - 1 - base;
+            if (n > ADJ_BLK) n = ADJ_BLK;
+            for (int64_t i = 0; i < n; i++) {
+                canon_pair(c->ids, c->orient, base + i, &cu_b[i], &vk_b[i]);
+                __builtin_prefetch(&c->row_off[cu_b[i]], 0, 1);
             }
-            int64_t eid = edge_adj_get(
-                c->row_off, c->adj_ent,
-                (int64_t)cu, (cv << 2) | (co1 << 1) | co2);
-            if (!eid) {
-                pthread_mutex_lock(&c->lock);
-                if (!c->err) c->err = -(k + 1);
-                pthread_mutex_unlock(&c->lock);
-                return NULL;
+            for (int64_t i = 0; i < n; i++)
+                __builtin_prefetch(&c->adj_ent[c->row_off[cu_b[i]]], 0, 1);
+            for (int64_t i = 0; i < n; i++) {
+                int64_t eid = edge_adj_get(
+                    c->row_off, c->adj_ent, cu_b[i], vk_b[i]);
+                if (!eid) {
+                    pthread_mutex_lock(&c->lock);
+                    if (!c->err) c->err = -(base + i + 1);
+                    pthread_mutex_unlock(&c->lock);
+                    return NULL;
+                }
+                eid_b[i] = eid;
+                __builtin_prefetch(&row[eid], 1, 1);
             }
-            row[eid] |= bit;
+            for (int64_t i = 0; i < n; i++) row[eid_b[i]] |= bit;
         }
     }
 }
