@@ -362,6 +362,7 @@ class GraphStorage:
         self._line_ends = ends
         self._tabs_arr = tabs
         self._tabs_lock = threading.Lock()
+        self._name_hash_lock = threading.Lock()
 
         is_s = first == ord("S")
         is_p = first == ord("P")
@@ -701,11 +702,16 @@ class GraphStorage:
         """Native open-addressing hash over the S-line name spans (string-
         named graphs: tokenize_batch mode 3). Built once, None when the
         native lib is unavailable."""
-        if self._name_hash_cache is False:
-            from .native import build_name_hash
+        # lock: the async edge-index worker and the main-thread tokenizer
+        # can both trigger the first build concurrently
+        with self._name_hash_lock:
+            if self._name_hash_cache is False:
+                from .native import build_name_hash
 
-            ns, ne = self._name_spans
-            self._name_hash_cache = build_name_hash(self._buf, ns, ne)
+                ns, ne = self._name_spans
+                self._name_hash_cache = build_name_hash(
+                    self._buf, ns, ne
+                )
         return self._name_hash_cache
 
     def batch_tokenizable(self) -> bool:
@@ -807,6 +813,7 @@ class GraphStorage:
             self._edges_v = np.zeros(0, np.int64)
             self._edges_o2 = np.zeros(0, np.uint8)
             return
+        res = None
         if self._int_name_mode is not None:
             from .native import index_edges
 
@@ -819,21 +826,36 @@ class GraphStorage:
                 getattr(self, "_int_sorted", None),
                 getattr(self, "_int_sorted_ids", None),
             )
-            if res is not None:
-                (
-                    self._edge_hash,
-                    self._edges_u,
-                    self._edges_o1,
-                    self._edges_v,
-                    self._edges_o2,
-                    self._degree,
-                    n_dup,
-                ) = res
-                self._edge_count = len(self._edges_u)
-                if n_dup:
-                    log.warning("%d duplicated edges in GFA", n_dup)
-                log.info("found: %d edges", self._edge_count)
-                return
+        else:
+            nh = self.name_hash()
+            if nh is not None:
+                from .native import index_edges
+
+                res = index_edges(
+                    buf,
+                    l_starts,
+                    l_ends,
+                    3,
+                    self.node_count,
+                    None,
+                    None,
+                    name_hash=nh,
+                )
+        if res is not None:
+            (
+                self._edge_hash,
+                self._edges_u,
+                self._edges_o1,
+                self._edges_v,
+                self._edges_o2,
+                self._degree,
+                n_dup,
+            ) = res
+            self._edge_count = len(self._edges_u)
+            if n_dup:
+                log.warning("%d duplicated edges in GFA", n_dup)
+            log.info("found: %d edges", self._edge_count)
+            return
         tabs = self._tabs  # numpy fallback: materializes the lazy index
         ti = np.searchsorted(tabs, l_starts)
         t1 = tabs[ti]

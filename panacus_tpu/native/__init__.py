@@ -174,6 +174,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         u64p, ctypes.c_int32,  # slots (interleaved), log2_slots
         i64p, u8p, i64p, u8p,  # edges_u, o1, v, o2
         u32p,            # degree
+        i64p, ctypes.c_int32,  # name_slots, name_log2 (mode 3)
+        i64p, i64p,      # name_starts, name_ends
     ]
     lib.pt_build_membership.restype = i64
     lib.pt_build_membership.argtypes = [
@@ -767,9 +769,11 @@ def index_edges(
     n_items: int,
     sorted_vals: Optional[np.ndarray],
     sorted_ids: Optional[np.ndarray],
+    name_hash=None,
 ):
     """One-pass L-line edge indexer: parse + canonicalize + hash-dedupe with
-    first-occurrence edge ids. Returns (edge_hash, edges_u, edges_o1,
+    first-occurrence edge ids. mode 3 resolves string names through
+    `name_hash` (build_name_hash). Returns (edge_hash, edges_u, edges_o1,
     edges_v, edges_o2, degree, n_dup) or None (native unavailable); raises
     ValueError on a malformed line / unknown node."""
     lib = get_lib()
@@ -812,6 +816,21 @@ def index_edges(
         edges_v.ctypes.data_as(i64p),
         _as_u8p(edges_o2),
         degree.ctypes.data_as(u32p),
+        *(
+            (
+                name_hash[0].ctypes.data_as(i64p),
+                ctypes.c_int32(name_hash[1]),
+                name_hash[2].ctypes.data_as(i64p),
+                name_hash[3].ctypes.data_as(i64p),
+            )
+            if name_hash is not None
+            else (
+                ctypes.cast(None, i64p),
+                ctypes.c_int32(0),
+                ctypes.cast(None, i64p),
+                ctypes.cast(None, i64p),
+            )
+        ),
     )
     if rc < 0:
         raise ValueError(f"malformed L line or unknown node (line {-rc - 1})")

@@ -303,19 +303,28 @@ EXPORT int64_t pt_build_name_hash(
     return 0;
 }
 
-static inline int64_t name_lookup(
-    const batch_ctx* c, const uint8_t* p, int64_t len)
+static inline int64_t name_hash_find(
+    const uint8_t* buf, const int64_t* slots, int32_t log2_slots,
+    const int64_t* nstarts, const int64_t* nends,
+    const uint8_t* p, int64_t len)
 {
-    uint64_t mask = (1ULL << c->nh_log2) - 1;
-    uint64_t j = (name_hash_bytes(p, len) >> (64 - c->nh_log2)) & mask;
-    while (c->nh_slots[j]) {
-        int64_t cand = c->nh_slots[j] - 1;
-        if (c->nh_ends[cand] - c->nh_starts[cand] == len
-            && memcmp(c->buf + c->nh_starts[cand], p, (size_t)len) == 0)
+    uint64_t mask = (1ULL << log2_slots) - 1;
+    uint64_t j = (name_hash_bytes(p, len) >> (64 - log2_slots)) & mask;
+    while (slots[j]) {
+        int64_t cand = slots[j] - 1;
+        if (nends[cand] - nstarts[cand] == len
+            && memcmp(buf + nstarts[cand], p, (size_t)len) == 0)
             return cand + 1;
         j = (j + 1) & mask;
     }
     return 0;
+}
+
+static inline int64_t name_lookup(
+    const batch_ctx* c, const uint8_t* p, int64_t len)
+{
+    return name_hash_find(
+        c->buf, c->nh_slots, c->nh_log2, c->nh_starts, c->nh_ends, p, len);
 }
 
 /* Mode-3 parse of one span: tokens are arbitrary name strings; P-line
@@ -1047,7 +1056,9 @@ EXPORT int64_t pt_index_edges(
     uint64_t* slots, int32_t log2_slots,
     int64_t* edges_u, uint8_t* edges_o1,
     int64_t* edges_v, uint8_t* edges_o2,
-    uint32_t* degree)
+    uint32_t* degree,
+    const int64_t* nh_slots, int32_t nh_log2,
+    const int64_t* nh_starts, const int64_t* nh_ends)
 {
     uint64_t mask = ((uint64_t)1 << log2_slots) - 1;
     int shift = 64 - log2_slots;
@@ -1067,6 +1078,37 @@ EXPORT int64_t pt_index_edges(
             if (i + 1 >= e || buf[i] != 'L' || buf[i + 1] != '\t')
                 return -(k + j + 1);
             i += 2;
+            int64_t u, v;
+            uint8_t o1, o2;
+            if (mode == 3) {
+                /* string names: span to the next tab, resolve through the
+                 * S-line name hash */
+                int64_t us = i;
+                while (i < e && buf[i] != '\t') i++;
+                if (i == us || i + 1 >= e) return -(k + j + 1);
+                u = name_hash_find(
+                    buf, nh_slots, nh_log2, nh_starts, nh_ends,
+                    buf + us, i - us);
+                if (!u) return -(k + j + 1);
+                i++;
+                if (buf[i] == '+') o1 = 0;
+                else if (buf[i] == '-') o1 = 1;
+                else return -(k + j + 1);
+                i++;
+                if (i >= e || buf[i] != '\t') return -(k + j + 1);
+                i++;
+                int64_t vs = i;
+                while (i < e && buf[i] != '\t') i++;
+                if (i == vs || i + 1 >= e) return -(k + j + 1);
+                v = name_hash_find(
+                    buf, nh_slots, nh_log2, nh_starts, nh_ends,
+                    buf + vs, i - vs);
+                if (!v) return -(k + j + 1);
+                i++;
+                if (buf[i] == '+') o2 = 0;
+                else if (buf[i] == '-') o2 = 1;
+                else return -(k + j + 1);
+            } else {
             int64_t uv = 0, vv = 0;
             int any = 0;
             while (i < e && buf[i] >= '0' && buf[i] <= '9') {
@@ -1075,7 +1117,6 @@ EXPORT int64_t pt_index_edges(
                 i++;
             }
             if (!any || i + 1 >= e || buf[i] != '\t') return -(k + j + 1);
-            uint8_t o1;
             if (buf[i + 1] == '+') o1 = 0;
             else if (buf[i + 1] == '-') o1 = 1;
             else return -(k + j + 1);
@@ -1089,12 +1130,10 @@ EXPORT int64_t pt_index_edges(
                 i++;
             }
             if (!any || i + 1 >= e || buf[i] != '\t') return -(k + j + 1);
-            uint8_t o2;
             if (buf[i + 1] == '+') o2 = 0;
             else if (buf[i + 1] == '-') o2 = 1;
             else return -(k + j + 1);
 
-            int64_t u, v;
             if (mode == 1) {
                 if (uv < 1 || uv > n_items || vv < 1 || vv > n_items)
                     return -(k + j + 1);
@@ -1104,6 +1143,7 @@ EXPORT int64_t pt_index_edges(
                 u = name_to_id(sorted_vals, sorted_ids, n_sorted, uv);
                 v = name_to_id(sorted_vals, sorted_ids, n_sorted, vv);
                 if (u < 0 || v < 0) return -(k + j + 1);
+            }
             }
 
             uint64_t key = edge_canonical_key(u, o1, v, o2);
