@@ -30,8 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 from panacus_tpu.ops import pallas_kernels as pk
 
 VARIANTS = (
-    "read", "pc", "pcl", "cur1", "cur2", "cur3",
-    "fh21", "fh22", "fh23", "old1", "old2", "old3", "parity",
+    "read", "pc", "pcl", "pcm", "cur1", "cur2", "cur3",
+    "fh21", "fh22", "fh23", "fhm1", "fhm2", "fhm3",
+    "old1", "old2", "old3", "parity", "paritym",
 )
 if len(sys.argv) != 2 or sys.argv[1] not in VARIANTS:
     sys.exit(f"usage: kernel_probe.py {{{'|'.join(VARIANTS)}}}")
@@ -80,6 +81,35 @@ def _pcl_kernel(m_ref, w_ref, out_ref, acc):
 def pcl_only(Mx, wx):
     return pl.pallas_call(
         _pcl_kernel, grid=(n_items // B,),
+        in_specs=[pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+    )(Mx, wx)
+
+def _pcm_kernel(m_ref, w_ref, out_ref, acc):
+    # coverage via MXU: the 31-add VPU reduction over words becomes a
+    # bf16 ones-matmul (popcounts are <= 32, exact in bf16); probes
+    # whether the VPU add tree is on the popcount pass's critical path
+    @pl.when(pl.program_id(0) == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    pc = (
+        jax.lax.population_count(m_ref[:])
+        .astype(jnp.int32)
+        .astype(jnp.bfloat16)
+    )
+    ones = jnp.ones((1, pc.shape[0]), jnp.bfloat16)
+    cov = jax.lax.dot_general(
+        ones, pc, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    acc[:] += cov + (w_ref[:] & 1)
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _o(): out_ref[:] = acc[:]
+
+def pcm_only(Mx, wx):
+    return pl.pallas_call(
+        _pcm_kernel, grid=(n_items // B,),
         in_specs=[pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -178,6 +208,58 @@ def fh2(Mx, w_vecs, n_bins, n_limbs=3):
                         pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32)],
     )(Mx, w_vecs.astype(jnp.int32))
 
+def _fhm_kernel(m_ref, w_ref, out_ref, acc_lo, acc_hi, n_limbs=3):
+    # fine-folded weights + MXU coverage reduction (pcm's add tree)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_lo[:] = jnp.zeros_like(acc_lo); acc_hi[:] = jnp.zeros_like(acc_hi)
+    pcnt = (
+        jax.lax.population_count(m_ref[:])
+        .astype(jnp.int32)
+        .astype(jnp.bfloat16)
+    )
+    ones = jnp.ones((1, pcnt.shape[0]), jnp.bfloat16)
+    cov = jax.lax.dot_general(
+        ones, pcnt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    n_vecs = w_ref.shape[0]
+    n_rows = n_limbs * n_vecs
+    n_coarse = acc_lo.shape[0] // n_rows
+    fine_eq = (cov & (FINE - 1)) == jax.lax.broadcasted_iota(jnp.int32, (FINE, B), 0)
+    coarse_oh = ((cov >> 5) == jax.lax.broadcasted_iota(jnp.int32, (n_coarse, B), 0)).astype(jnp.bfloat16)
+    for v in range(n_vecs):
+        wv = w_ref[v:v+1, :]
+        for j in range(n_limbs):
+            wl = (wv >> (8 * j)) & 0xFF
+            wf = jnp.where(fine_eq, wl, 0).astype(jnp.bfloat16)
+            p = jax.lax.dot_general(coarse_oh, wf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            l = j * n_vecs + v
+            acc_lo[l*n_coarse:(l+1)*n_coarse] += p & 0xFFFF
+            acc_hi[l*n_coarse:(l+1)*n_coarse] += p >> 16
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _o():
+        nr = n_rows * n_coarse
+        out_ref[0:nr] = acc_lo[:]; out_ref[nr:2*nr] = acc_hi[:]
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def fhm(Mx, w_vecs, n_bins, n_limbs=3):
+    n_bins_pad = ((n_bins + 127) // 128) * 128
+    n_vecs = w_vecs.shape[0]
+    n_rows = n_limbs * n_vecs
+    n_coarse = n_bins_pad // FINE
+    return pl.pallas_call(
+        functools.partial(_fhm_kernel, n_limbs=n_limbs), grid=(n_items // B,),
+        in_specs=[
+            pl.BlockSpec((n_words, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vecs, B), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2*n_rows*n_coarse, FINE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2*n_rows*n_coarse, FINE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32),
+                        pltpu.VMEM((n_rows*n_coarse, FINE), jnp.int32)],
+    )(Mx, w_vecs.astype(jnp.int32))
+
 if variant == 'read':
     import bench
 
@@ -187,6 +269,12 @@ elif variant == 'pc':
     @jax.jit
     def chain(M, w):
         def body(i, a): return a + pc_only(M, w + i).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M, w)
+elif variant == 'pcm':
+    @jax.jit
+    def chain(M, w):
+        def body(i, a): return a + pcm_only(M, w + i).sum()
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
     c = lambda: chain(M, w)
 elif variant == 'pcl':
@@ -209,6 +297,13 @@ elif variant.startswith('fh2'):
         def body(i, a): return a + fh2(M, w + i, n_bins, nl).sum()
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
     c = lambda: chain(M, w)
+elif variant.startswith('fhm'):
+    nl = int(variant[-1])
+    @jax.jit
+    def chain(M, w):
+        def body(i, a): return a + fhm(M, w + i, n_bins, nl).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    c = lambda: chain(M, w)
 elif variant.startswith('old'):
     nl = int(variant[-1])
     @jax.jit
@@ -220,6 +315,11 @@ elif variant == 'parity':
     a = np.asarray(pk.fused_hist_tpu(M, w, n_bins, 3))
     b = np.asarray(fh2(M, w, n_bins, 3))
     print('parity fh2 vs current:', np.array_equal(a, b), flush=True)
+    sys.exit(0)
+elif variant == 'paritym':
+    a = np.asarray(pk.fused_hist_tpu(M, w, n_bins, 3))
+    b = np.asarray(fhm(M, w, n_bins, 3))
+    print('parity fhm vs current:', np.array_equal(a, b), flush=True)
     sys.exit(0)
 
 np.asarray(c())
