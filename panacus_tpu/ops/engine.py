@@ -555,6 +555,7 @@ class MembershipStream:
             if self._dev is not None
             else jax.devices()[0].platform == "cpu"
         )
+        self._M_host = None
         if not self._host_np:
             # warm the per-shape transfer path (first device_put of a new
             # shape pays a one-time setup cost on tunneled backends)
@@ -569,6 +570,20 @@ class MembershipStream:
             return jax.device_put(row, self._dev)
         return jax.device_put(row)
 
+    def host_row(self, word: int):
+        """Host-placed streams: a writable, already-zeroed view of the
+        final matrix's row for `word` — packers fill it in place so
+        finalize() never stacks/copies. None on device/sharded placement
+        (those need per-row uploads)."""
+        if not self._host_np:
+            return None
+        if self._M_host is None:
+            self._M_host = np.zeros(
+                (self.engine.n_words, self.engine.n_items_pad),
+                dtype=np.uint32,
+            )
+        return self._M_host[word]
+
     def feed(self, word: int, row: np.ndarray) -> None:
         """row: uint32[n_items_pad] with this word's group bits (host-built).
         Issued asynchronously; do not mutate row afterwards."""
@@ -578,6 +593,14 @@ class MembershipStream:
 
     def finalize(self) -> CountingEngine:
         if self._host_np:
+            if self._M_host is not None:
+                # rows were packed in place (host_row); copy in any row fed
+                # from a foreign buffer, unfed words are already zero
+                for w, r in self._rows.items():
+                    if not np.shares_memory(r, self._M_host):
+                        self._M_host[w] = r
+                self.engine.M = self._put(self._M_host)
+                return self.engine
             zrow = None
             rows = []
             for w in range(self.engine.n_words):

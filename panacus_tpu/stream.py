@@ -96,12 +96,19 @@ def _pack_row(
     prefsum: np.ndarray,
     gidx_rel: np.ndarray,
     n_items_pad: int,
+    out: "np.ndarray | None" = None,
 ) -> np.ndarray:
-    """OR this slab's per-path item runs into one packed uint32 word row."""
+    """OR this slab's per-path item runs into one packed uint32 word row.
+    `out`: an already-zeroed uint32[n_items_pad] target (host-placed
+    streams hand the final matrix's row so finalize never copies)."""
     from .native import build_membership
     from .runtime import effective_threads
 
-    M = np.zeros((1, n_items_pad), dtype=np.uint32)
+    M = (
+        out.reshape(1, n_items_pad)
+        if out is not None
+        else np.zeros((1, n_items_pad), dtype=np.uint32)
+    )
     k = len(gidx_rel)
     done = build_membership(
         ids,
@@ -315,6 +322,7 @@ def streamed_total_abaci(
                     prefsum,
                     slab.gidx_rel,
                     node_stream.engine.n_items_pad,
+                    out=node_stream.host_row(slab.word),
                 ),
             )
 
@@ -329,20 +337,21 @@ def streamed_total_abaci(
             if slab.word >= 0:
                 from .native import pack_edges_adj
 
-                row = np.zeros(
-                    (1, edge_stream.engine.n_items_pad),
-                    dtype=np.uint32,
-                )
+                row = edge_stream.host_row(slab.word)
+                if row is None:
+                    row = np.zeros(
+                        edge_stream.engine.n_items_pad, dtype=np.uint32
+                    )
                 pack_edges_adj(
                     ids,
                     orient,
                     prefsum,
                     slab.gidx_rel,
                     graph.edge_adj(),
-                    row[0],
+                    row,
                 )
-                row[0, 0] = 0
-                edge_stream.feed(slab.word, row[0])
+                row[0] = 0
+                edge_stream.feed(slab.word, row)
         else:
             eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
             edge_table.add_slab(slab.path_ids, eids, e_pref)
@@ -354,6 +363,7 @@ def streamed_total_abaci(
                         e_pref,
                         slab.gidx_rel,
                         edge_stream.engine.n_items_pad,
+                        out=edge_stream.host_row(slab.word),
                     ),
                 )
 
