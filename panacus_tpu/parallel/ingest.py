@@ -127,44 +127,80 @@ def merge_partials(partials: List[np.ndarray]) -> np.ndarray:
 
 # -- production multi-host build ----------------------------------------------
 #
-# Partition unit: the 32-group WORD (the streamed builder's slab). Process p
-# owns the contiguous word block [p*wpp, (p+1)*wpp), tokenizes only those
-# words' paths, and packs its rows of M locally. Because every word row is
-# built by exactly one process, the global assembly needs no OR at all: the
-# per-process row blocks concatenate into M (one resharding collective from
-# row-blocked to item-sharded — the only cross-host traffic, O(|M| / hosts)
-# per host). The engine's shard_map dispatch then runs SPMD over the global
-# mesh, and the tiny per-shard outputs are allgathered (engine.fetch_parts).
+# Partition unit: a contiguous, payload-balanced GROUP range. Process p owns
+# groups [cuts[p], cuts[p+1]) (cut points chosen on the cumulative path-
+# payload so every host tokenizes ~1/n_proc of the bytes even when the
+# group count is far from a multiple of 32 — a whole-word partition starves
+# hosts as soon as n_words < n_proc, e.g. 90 haplotypes = 3 words).
+# Each process packs its groups' bits into rows for the words its range
+# touches. A word shared by several processes receives bit-DISJOINT
+# contributions (each group's bit is set by exactly one owner), so the
+# global row is the SUM of the partial rows — carry-free, add == or.
+# Assembly: per-process row blocks form one global array with no transfer
+# (make_array_from_single_device_arrays), then a single jitted
+# gather-and-add reshards to the engine's item sharding (XLA inserts the
+# collective; traffic per host ~ max_contributors * |M| / n_words extra
+# over the minimal reshard).
 #
 # The reference has no multi-process substrate at all (rayon threads only,
 # /root/reference/src/lib.rs:55-67); this is the SURVEY §5.8 design.
 
 
-def word_slice(n_words: int, n_proc: int, pid: int) -> range:
-    """Contiguous word block owned by process pid (padded: wpp words per
-    process, the last block may be short)."""
-    wpp = (n_words + n_proc - 1) // n_proc
-    return range(pid * wpp, min((pid + 1) * wpp, n_words))
+def group_cuts(group_payload: np.ndarray, n_proc: int) -> List[int]:
+    """Contiguous group partition balanced on cumulative payload bytes:
+    cuts[p]..cuts[p+1] is process p's group range."""
+    n_groups = len(group_payload)
+    cum = np.concatenate([[0], np.cumsum(group_payload)])
+    total = int(cum[-1])
+    cuts = [0]
+    for p in range(1, n_proc):
+        c = int(np.searchsorted(cum, total * p / n_proc, side="left"))
+        cuts.append(min(max(c, cuts[-1]), n_groups))
+    cuts.append(n_groups)
+    return cuts
+
+
+def words_of_range(g_lo: int, g_hi: int) -> range:
+    """Word indices a contiguous group range touches (empty when empty)."""
+    if g_lo >= g_hi:
+        return range(0, 0)
+    return range(g_lo >> 5, ((g_hi - 1) >> 5) + 1)
+
+
+def word_slots(cuts: List[int], n_words: int, wpp2: int):
+    """Per-word contributor slots: [n_words, max_k] of global row indices
+    (p * wpp2 + local slot), -1 padded. Deterministic on every process."""
+    contrib = [[] for _ in range(n_words)]
+    for p in range(len(cuts) - 1):
+        ws = words_of_range(cuts[p], cuts[p + 1])
+        for w in ws:
+            contrib[w].append(p * wpp2 + (w - ws.start))
+    max_k = max((len(c) for c in contrib), default=1) or 1
+    out = np.full((n_words, max_k), -1, dtype=np.int64)
+    for w, c in enumerate(contrib):
+        out[w, : len(c)] = c
+    return out
 
 
 def assemble_global_matrix(
-    rows: np.ndarray, n_words: int, n_items_pad: int
+    rows: np.ndarray, slots: np.ndarray, n_words: int, n_items_pad: int
 ) -> "object":
-    """Per-process word-row block [wpp, n_items_pad] -> global M
+    """Per-process partial word rows [wpp2, n_items_pad] -> global M
     [n_words, n_items_pad] sharded over items across ALL devices.
 
     Stage 1: a global array with rows blocked by process and columns split
     over each process's local devices (make_array_from_single_device_arrays
     — no transfer, every shard is process-local). Stage 2: one jitted
-    reshard to the engine's item sharding (XLA inserts the all-to-all)."""
+    gather-and-add over `slots` (bit-disjoint partial rows, add == or) to
+    the engine's item sharding (XLA inserts the collective)."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     n_proc = jax.process_count()
     local = jax.local_devices()
     n_local = len(local)
-    wpp = (n_words + n_proc - 1) // n_proc
-    assert rows.shape == (wpp, n_items_pad), (rows.shape, wpp, n_items_pad)
+    wpp2 = rows.shape[0]
+    assert rows.shape == (wpp2, n_items_pad), (rows.shape, n_items_pad)
     assert n_items_pad % n_local == 0
     cols = n_items_pad // n_local
     mesh_rows = Mesh(
@@ -175,16 +211,25 @@ def assemble_global_matrix(
         for k, d in enumerate(local)
     ]
     G = jax.make_array_from_single_device_arrays(
-        (wpp * n_proc, n_items_pad),
+        (wpp2 * n_proc, n_items_pad),
         NamedSharding(mesh_rows, P("w", "i")),
         shards,
     )
     items_mesh = Mesh(np.array(jax.devices()), ("items",))
-    to_items = jax.jit(
-        lambda x: x[:n_words],
+    max_k = slots.shape[1]
+    idxs = [np.maximum(slots[:, j], 0) for j in range(max_k)]
+    masks = [(slots[:, j] >= 0).astype(np.uint32) for j in range(max_k)]
+
+    def to_items(x):
+        out = x[idxs[0]] * masks[0][:, None]
+        for j in range(1, max_k):
+            out = out + x[idxs[j]] * masks[j][:, None]
+        return out
+
+    return jax.jit(
+        to_items,
         out_shardings=NamedSharding(items_mesh, P(None, "items")),
-    )
-    return to_items(G)
+    )(G)
 
 
 def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
@@ -259,31 +304,68 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     )
     any_engine = node_engine or edge_engine
     n_words = any_engine.n_words
-    wpp = (n_words + n_proc - 1) // n_proc
-    mine = word_slice(n_words, n_proc, pid)
-    # the ungrouped trailing slab (word -1) only feeds paths_len; process 0
-    # walks it so the merged paths_len matches the single-host builder
-    my_slabs = [
-        s
-        for s in slabs
-        if (s.word in mine) or (s.word < 0 and pid == 0)
-    ]
+
+    # payload-balanced contiguous GROUP partition: every host tokenizes
+    # ~1/n_proc of the path payload bytes regardless of how the group
+    # count maps to 32-group words (see module comment)
+    spans = np.asarray(graph._pw_seq_spans, dtype=np.int64)
+    span_len = (
+        spans[:, 1] - spans[:, 0]
+        if len(spans)
+        else np.zeros(0, dtype=np.int64)
+    )
+    total_payload = int(span_len.sum())
+    group_payload = np.zeros(max(n_groups, 1), dtype=np.int64)
+    po_pids = np.fromiter((p for p, _ in path_order), dtype=np.int64,
+                          count=len(path_order))
+    po_gidx = np.fromiter((g for _, g in path_order), dtype=np.int64,
+                          count=len(path_order))
+    np.add.at(group_payload, po_gidx, span_len[po_pids])
+    cuts = group_cuts(group_payload[:n_groups], n_proc)
+    wpp2 = max(
+        (len(words_of_range(cuts[p], cuts[p + 1])) for p in range(n_proc)),
+        default=1,
+    ) or 1
+    slots = word_slots(cuts, n_words, wpp2)
+    g_lo, g_hi = cuts[pid], cuts[pid + 1]
+    my_words = words_of_range(g_lo, g_hi)
+
+    # clip each word slab to this process's group range; the ungrouped
+    # trailing slab (word -1) only feeds paths_len — process 0 walks it so
+    # the merged paths_len matches the single-host builder
+    my_parts = []  # (slab, selection into slab paths)
+    my_payload = 0
+    for s in slabs:
+        if s.word < 0:
+            if pid == 0:
+                sel = np.arange(len(s.path_ids), dtype=np.int64)
+                my_parts.append((s, sel))
+                my_payload += int(span_len[s.path_ids].sum())
+            continue
+        gidx_global = s.word * 32 + s.gidx_rel
+        sel = np.flatnonzero((gidx_global >= g_lo) & (gidx_global < g_hi))
+        if len(sel):
+            my_parts.append((s, sel))
+            my_payload += int(span_len[s.path_ids[sel]].sum())
     log.info(
-        "multi-host build: process %d/%d owns words %s (%d/%d slabs)",
+        "multi-host build: process %d/%d owns groups [%d, %d) over words "
+        "%s (%d slab parts, %.1f%% of path payload)",
         pid,
         n_proc,
-        list(mine),
-        len(my_slabs),
-        len(slabs),
+        g_lo,
+        g_hi,
+        list(my_words),
+        len(my_parts),
+        100.0 * my_payload / max(total_payload, 1),
     )
 
     R_node = (
-        np.zeros((wpp, node_engine.n_items_pad), dtype=np.uint32)
+        np.zeros((wpp2, node_engine.n_items_pad), dtype=np.uint32)
         if need_node
         else None
     )
     R_edge = (
-        np.zeros((wpp, edge_engine.n_items_pad), dtype=np.uint32)
+        np.zeros((wpp2, edge_engine.n_items_pad), dtype=np.uint32)
         if need_edge
         else None
     )
@@ -300,32 +382,41 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
         if (exc_pids and need_edge)
         else None
     )
-    for slab in my_slabs:
-        batch = graph.all_path_item_runs(slab.path_ids)
+    for slab, sel in my_parts:
+        pids_sel = slab.path_ids[sel]
+        batch = graph.all_path_item_runs(pids_sel)
         if batch is None:
             return None
         ids, orient, prefsum, bp = batch
         exc_local = (
-            [k for k, p in enumerate(slab.path_ids) if int(p) in exc_pids]
+            [k for k, p in enumerate(pids_sel) if int(p) in exc_pids]
             if exc_pids
             else []
         )
         if need_node:
             counts = np.diff(prefsum)
-            node_len[slab.path_ids] = counts
-            bp_len[slab.path_ids] = bp
-            have_len[slab.path_ids] = 1
+            node_len[pids_sel] = counts
+            bp_len[pids_sel] = bp
+            have_len[pids_sel] = 1
             if slab.word >= 0:
-                R_node[slab.word - mine.start] |= _pack_row(
-                    ids, prefsum, slab.gidx_rel, node_engine.n_items_pad
+                _pack_row(
+                    ids,
+                    prefsum,
+                    slab.gidx_rel[sel],
+                    node_engine.n_items_pad,
+                    out=R_node[slab.word - my_words.start],
                 )
             for k in exc_local:
                 node_excl[ids[prefsum[k] : prefsum[k + 1]]] = True
         if need_edge and (slab.word >= 0 or exc_local):
             eids, e_pref = _slab_edges(graph, ids, orient, prefsum)
             if slab.word >= 0:
-                R_edge[slab.word - mine.start] |= _pack_row(
-                    eids, e_pref, slab.gidx_rel, edge_engine.n_items_pad
+                _pack_row(
+                    eids,
+                    e_pref,
+                    slab.gidx_rel[sel],
+                    edge_engine.n_items_pad,
+                    out=R_edge[slab.word - my_words.start],
                 )
             for k in exc_local:
                 edge_excl[eids[e_pref[k] : e_pref[k + 1]]] = True
@@ -360,11 +451,11 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
 
     if need_node:
         node_engine.M = assemble_global_matrix(
-            R_node, n_words, node_engine.n_items_pad
+            R_node, slots, n_words, node_engine.n_items_pad
         )
     if need_edge:
         edge_engine.M = assemble_global_matrix(
-            R_edge, n_words, edge_engine.n_items_pad
+            R_edge, slots, n_words, edge_engine.n_items_pad
         )
 
     # paths_len merge: every process contributes its slabs' rows
@@ -387,6 +478,13 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
         subset_covered_bps=None,
         paths_len=paths_len,
     )
+    # surfaced for scaling-efficiency assertions (not part of the result
+    # contract; consumers must not rely on it)
+    itemized.mh_stats = {
+        "tokenized_payload_bytes": my_payload,
+        "total_payload_bytes": total_payload,
+        "n_processes": n_proc,
+    }
     abaci = {}
     for ct in count_types:
         engine = edge_engine if ct == CountType.EDGE else node_engine

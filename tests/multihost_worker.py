@@ -56,6 +56,7 @@ def main():
             # the path-sliced multihost build carries no host item tables;
             # the redundant-itemization fallback does
             path_sliced=gb._itemized.item_tables[0] is None,
+            mh_stats=getattr(gb._itemized, "mh_stats", None),
             node_hist=[int(x) for x in hists[CountType.NODE].coverage],
             bp_hist=[int(x) for x in hists[CountType.BP].coverage],
             paths_len_total=sorted(

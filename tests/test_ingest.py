@@ -88,3 +88,75 @@ def test_host_path_slice_partitions():
             [host_path_slice(n, h, k) for h in range(k)]
         )
         assert all_idx.tolist() == list(range(n))
+
+
+def test_group_cuts_balanced_hprc_shape():
+    """90 haplotype groups over 8 processes (the HPRC shape that starves a
+    whole-word partition: 3 words, 5 idle hosts) must give every process a
+    payload share, with per-word contributor slots covering each group's
+    owner exactly once."""
+    from panacus_tpu.parallel.ingest import (
+        group_cuts,
+        word_slots,
+        words_of_range,
+    )
+
+    rng = np.random.default_rng(3)
+    for n_groups, n_proc in [(90, 8), (40, 2), (3, 4), (128, 3), (1, 2)]:
+        payload = rng.integers(1, 1000, size=n_groups).astype(np.int64)
+        cuts = group_cuts(payload, n_proc)
+        assert cuts[0] == 0 and cuts[-1] == n_groups
+        assert all(cuts[i] <= cuts[i + 1] for i in range(n_proc))
+        total = payload.sum()
+        shares = [
+            payload[cuts[p] : cuts[p + 1]].sum() / total
+            for p in range(n_proc)
+        ]
+        # balanced up to one group's granularity
+        gmax = payload.max() / total
+        assert max(shares) <= 1.0 / n_proc + gmax + 1e-9, (shares, gmax)
+        if n_groups >= n_proc:
+            assert all(cuts[p] < cuts[p + 1] for p in range(n_proc)), cuts
+
+        n_words = (n_groups + 31) // 32
+        wpp2 = max(
+            len(words_of_range(cuts[p], cuts[p + 1]))
+            for p in range(n_proc)
+        ) or 1
+        slots = word_slots(cuts, n_words, wpp2)
+        # every word has >= 1 contributor; slots are unique global rows
+        assert (slots[:, 0] >= 0).all()
+        flat = slots[slots >= 0]
+        assert len(np.unique(flat)) == len(flat)
+        # a word's contributors are exactly the processes whose group
+        # range overlaps it
+        for w in range(n_words):
+            want = {
+                p
+                for p in range(n_proc)
+                if cuts[p] < cuts[p + 1]
+                and cuts[p] < min((w + 1) * 32, n_groups)
+                and cuts[p + 1] > w * 32
+            }
+            got = {int(s) // wpp2 for s in slots[w] if s >= 0}
+            assert got == want, (w, got, want)
+
+
+def test_assemble_bitdisjoint_add_equals_or():
+    """Partial rows from a group partition are bit-disjoint per word, so
+    the assembly's add must equal the OR merge of the same partials."""
+    rng = np.random.default_rng(5)
+    n_words, n_pad = 2, 256
+    n_groups = 40
+    # simulate 3 processes owning group ranges [0,13) [13,30) [30,40)
+    cuts = [0, 13, 30, 40]
+    rows = []
+    for p in range(3):
+        R = np.zeros((n_words, n_pad), dtype=np.uint32)
+        for g in range(cuts[p], cuts[p + 1]):
+            items = rng.integers(1, n_pad, size=8)
+            R[g >> 5, items] |= np.uint32(1 << (g & 31))
+        rows.append(R)
+    add = rows[0] + rows[1] + rows[2]
+    orr = rows[0] | rows[1] | rows[2]
+    assert (add == orr).all()

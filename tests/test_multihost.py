@@ -144,6 +144,16 @@ def test_two_process_broker_matches_oracle(tmp_path):
     assert r0["n_processes"] == 2 and r0["n_devices"] == 4
     assert r0["m_sharded"], "M must shard over the global 4-device mesh"
     assert r0["path_sliced"], "expected the word-block path-sliced build"
+    # scaling efficiency: the word-block partition must actually shrink
+    # per-host tokenization — each process owns a balanced share of the
+    # path payload and together they cover it exactly once
+    s0, s1 = r0["mh_stats"], r1["mh_stats"]
+    total = s0["total_payload_bytes"]
+    assert total == s1["total_payload_bytes"] > 0
+    f0 = s0["tokenized_payload_bytes"] / total
+    f1 = s1["tokenized_payload_bytes"] / total
+    assert abs((f0 + f1) - 1.0) < 1e-9, (f0, f1)
+    assert 0.3 < f0 < 0.7 and 0.3 < f1 < 0.7, (f0, f1)
     # both processes hold the SAME fully-merged results
     assert r0["node_hist"] == r1["node_hist"]
     assert r0["bp_hist"] == r1["bp_hist"]
