@@ -511,17 +511,27 @@ def run_inner_tpu() -> None:
         t_build = time.time() - t0
         ab = gb.get_abacus_by_group()
         group_placement = _placement_of(ab.engine)
+        # first calls pay one-time compilation over the tunnel; report both
+        # (cold includes compile+dispatch, warm is the steady-state cost)
+        t1 = time.time()
+        og = ab.calc_growth(Threshold.absolute(1), Threshold.rel(0.0))
+        t_ordered_cold = time.time() - t1
         t1 = time.time()
         og = ab.calc_growth(Threshold.absolute(1), Threshold.rel(0.0))
         t_ordered = time.time() - t1
+        t2 = time.time()
+        inter, _sizes = ab.similarity_matrix()
+        t_sim_cold = time.time() - t2
         t2 = time.time()
         inter, _sizes = ab.similarity_matrix()
         t_sim = time.time() - t2
         out["group_stages"] = {
             "placement": group_placement,
             "build_s": round(t_build, 2),
-            "ordered_s": round(t_ordered, 2),
-            "similarity_s": round(t_sim, 2),
+            "ordered_cold_s": round(t_ordered_cold, 2),
+            "ordered_s": round(t_ordered, 3),
+            "similarity_cold_s": round(t_sim_cold, 2),
+            "similarity_s": round(t_sim, 3),
             "ordered_last": float(og[-1]),
             "sim_trace": float(np.asarray(inter).trace()),
         }
