@@ -256,7 +256,6 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     import jax
 
     from ..abacus import AbacusByTotal, path_order_groups
-    from ..gfa import SlabbedItemTable
     from ..itemize import ItemizeResult
     from ..ops.engine import CountingEngine
     from ..stream import _pack_row, _plan_slabs, _slab_edges
