@@ -10,12 +10,12 @@ same matrix. Each host:
   1. indexes the GFA structure (S lines + path spans — a cheap scan
      relative to tokenizing the path payload, which is 70-95% of the
      bytes),
-  2. tokenizes ONLY the paths of its 32-group word block
-     (`multihost_total_abaci` — the PRODUCTION path: GraphBroker routes
-     here whenever `jax.process_count() > 1`),
-  3. contributes its word rows to the global M via
-     `jax.make_array_from_single_device_arrays` + one resharding
-     collective (`assemble_global_matrix`).
+  2. tokenizes ONLY the paths of its payload-balanced contiguous group
+     range (`multihost_total_abaci` — the PRODUCTION path: GraphBroker
+     routes here whenever `jax.process_count() > 1`),
+  3. contributes its (bit-disjoint) partial word rows to the global M via
+     `jax.make_array_from_single_device_arrays` + one jitted
+     gather-and-add reshard (`assemble_global_matrix`).
 
 `init_distributed()` wires `jax.distributed.initialize` from coordinator
 env vars; `cli.run_cli` calls it on startup. tests/test_multihost.py
