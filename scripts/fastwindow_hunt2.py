@@ -27,7 +27,7 @@ import numpy as np  # noqa: E402
 
 def main():
     variants, M, K, read_fn = _load_probe_funcs()
-    order = ["read", "pc", "pcm", "fh21", "fhm1", "fh23", "fhm3",
+    order = ["read", "pc", "pcx", "pcm", "fh21", "fhm1", "fh23", "fhm3",
              "cur1", "cur3"]
     sel = {v: variants[v] for v in order}
     for name, fn in sel.items():

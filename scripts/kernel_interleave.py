@@ -54,6 +54,21 @@ def _load_probe_funcs():
         def _o():
             out_ref[:] = acc[:]
 
+    def _pcx_kernel(m_ref, w_ref, out_ref, acc):
+        # control: popcount replaced by a plain cast — same structure,
+        # same reduction, no popcount instruction. pcx vs pc isolates
+        # what the popcount op itself costs on the VPU.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+        cov = jnp.sum(
+            m_ref[:].astype(jnp.int32), axis=0, keepdims=True
+        )
+        acc[:] += cov + (w_ref[:] & 1)
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _o():
+            out_ref[:] = acc[:]
+
     def _pcm_kernel(m_ref, w_ref, out_ref, acc):
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -171,6 +186,7 @@ def _load_probe_funcs():
     variants = {
         "read": None,  # special-cased
         "pc": _chain(_simple(_pc_kernel)),
+        "pcx": _chain(_simple(_pcx_kernel)),
         "pcm": _chain(_simple(_pcm_kernel)),
         "fh21": _chain(_fh2(1, False)),
         "fhm1": _chain(_fh2(1, True)),
