@@ -57,10 +57,28 @@ def _coverage_reduce(x):
     Harley-Seal carry-save alternative below on TPU v5e (299 vs 259 GB/s
     end-to-end in the same session; the VPU lowers population_count
     cheaply, so trading popcounts for ~5 bitwise ops/word loses).
-    PANACUS_TPU_COV=csa selects the carry-save tree (kept measurable:
-    both paths are interpret-tested against a numpy oracle in
-    tests/test_pallas_hist.py; the choice is read at trace time)."""
-    if os.environ.get("PANACUS_TPU_COV", "naive") != "csa":
+    PANACUS_TPU_COV=csa selects the carry-save tree, =mxu replaces the
+    VPU add tree with a bf16 ones-matmul on the MXU (popcounts <= 32 are
+    bf16-exact) — on fast tunnel connections the kernel is VPU-issue
+    bound at ~2 ops/word (popcount + add), so shedding the add can raise
+    the ceiling; see BASELINE.md round-4 decomposition. All paths are
+    interpret-tested against a numpy oracle in tests/test_pallas_hist.py;
+    the choice is read at trace time."""
+    mode = os.environ.get("PANACUS_TPU_COV", "naive")
+    if mode == "mxu" and x.shape[0] > 1:
+        pcv = (
+            jax.lax.population_count(x)
+            .astype(jnp.int32)
+            .astype(jnp.bfloat16)
+        )
+        ones = jnp.ones((1, x.shape[0]), jnp.bfloat16)
+        return jax.lax.dot_general(
+            ones,
+            pcv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    if mode != "csa":
         return jnp.sum(
             jax.lax.population_count(x).astype(jnp.int32),
             axis=0,

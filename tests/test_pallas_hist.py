@@ -105,7 +105,7 @@ def test_pallas_hist_interpret_parity(n_words, n_items, n_bins, n_vecs, style):
     _run_case(n_words, n_items, n_bins, n_vecs, style, interpret=True)
 
 
-@pytest.mark.parametrize("cov_mode", ["csa", "naive"])
+@pytest.mark.parametrize("cov_mode", ["csa", "naive", "mxu"])
 def test_pallas_hist_coverage_modes(cov_mode, monkeypatch):
     """Both coverage reductions (naive per-word popcount default and the
     Harley-Seal carry-save tree, PANACUS_TPU_COV=csa) produce identical
