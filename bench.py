@@ -183,19 +183,23 @@ def run_histgrowth(gfa: str, count: str):
 
 
 def _xor_read_bw(M, K=16):
-    """Raw streaming ceiling of the SAME session: a pallas xor-reduce over
-    M (pure reads, no popcount/hist work). Session throughput over the
-    tunneled chip drifts ±25% minute to minute, so the meaningful
-    'speed-of-light fraction' is kernel/read measured back to back, not
-    kernel/nameplate."""
-    import functools
+    """Raw streaming ceiling of the SAME connection: a pallas xor-reduce
+    over M (pure reads, no popcount/hist work).
 
+    HISTORY (round 4): the original chain body was loop-INVARIANT
+    (`run(M)` with constant M), so XLA hoisted the pass out of the
+    fori_loop and every measurement was one pass + the tunnel RTT,
+    reported as K*bytes/RTT — the 'fast/slow session windows' of rounds
+    3-4 were exactly K=16 vs K=8 against a ~26 ms RTT, not real
+    bandwidth. The body now takes a per-iteration operand row (like the
+    hist chain's `w + i`), which defeats the hoist; chain wall time must
+    scale with K for the number to be trusted (asserted below)."""
     import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kern(m_ref, out_ref, acc):
+    def kern(m_ref, w_ref, out_ref, acc):
         @pl.when(pl.program_id(0) == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
@@ -204,7 +208,7 @@ def _xor_read_bw(M, K=16):
         r = x[0:1]
         for i in range(1, x.shape[0]):
             r = r ^ x[i : i + 1]
-        acc[:] ^= r
+        acc[:] ^= r ^ w_ref[:]
 
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _o():
@@ -213,7 +217,7 @@ def _xor_read_bw(M, K=16):
             )
 
     @jax.jit
-    def run(M):
+    def run(M, w):
         n_words, n_items = M.shape
         block = 16384
         return pl.pallas_call(
@@ -223,29 +227,57 @@ def _xor_read_bw(M, K=16):
                 pl.BlockSpec(
                     (n_words, block), lambda i: (0, i),
                     memory_space=pltpu.VMEM,
-                )
+                ),
+                pl.BlockSpec(
+                    (1, block), lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
             scratch_shapes=[pltpu.VMEM((1, block), jnp.uint32)],
-        )(M)
+        )(M, w)
 
-    @jax.jit
-    def chain(M):
-        def body(i, acc):
-            return acc + run(M).sum() + i * 0
+    w = jnp.zeros((1, M.shape[1]), jnp.uint32)
 
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+    def make_chain(k):
+        @jax.jit
+        def chain(M, w):
+            def body(i, acc):
+                return acc + run(M, w + i.astype(jnp.uint32)).sum()
 
-    np.asarray(chain(M))
-    times = []
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return lambda: np.asarray(chain(M, w))
+
+    return _slope_bw(make_chain, M.nbytes, K)
+
+
+def _slope_bw(make_chain, nbytes, K):
+    """Per-pass bandwidth via two chain lengths: wall(k) = k*t_pass + c
+    where c is the tunnel round trip (~26 ms here) plus dispatch overhead.
+    Timing ONE chain and dividing by k bakes c/k into every number — the
+    entire 'session window' history (see _xor_read_bw) fell out of that
+    bias. The slope (wall(3K) - wall(K)) / 2K cancels c exactly."""
+    k1, k2 = K, 3 * K
+    c1, c2 = make_chain(k1), make_chain(k2)
+    c1()
+    c2()  # compile + warm both
+    t1 = []
+    t2 = []
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(chain(M))
-        times.append(time.perf_counter() - t0)
-    return M.nbytes / (sorted(times)[1] / K)
+        c1()
+        t1.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        c2()
+        t2.append(time.perf_counter() - t0)
+    dt = sorted(t2)[1] - sorted(t1)[1]
+    if dt <= 0:
+        return None
+    return nbytes / (dt / (k2 - k1))
 
 
 def run_roofline():
@@ -283,22 +315,35 @@ def run_roofline():
         jax.random.PRNGKey(1), (1, n_items), 0, 1 << 20, dtype=jnp.int32
     )
 
-    @jax.jit
-    def chain(M, w):
-        def body(i, acc):
-            return acc + pk.fused_hist_tpu(M, w + i, n_bins).sum()
+    def make_kernel_chain(k):
+        @jax.jit
+        def chain(M, w):
+            def body(i, acc):
+                return acc + pk.fused_hist_tpu(M, w + i, n_bins).sum()
 
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    np.asarray(chain(M, w))  # compile + first execution
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(chain(M, w))
-        times.append(time.perf_counter() - t0)
-    t = sorted(times)[1] / K
-    bw = M.nbytes / t
+        return lambda: np.asarray(chain(M, w))
+
+    # RTT-free slope timing (see _slope_bw: dividing one chain's wall by K
+    # bakes the ~26 ms round trip into the number)
+    bw = _slope_bw(make_kernel_chain, M.nbytes, K)
+    if bw is None:
+        sys.stderr.write("[bench] roofline: slope timing failed\n")
+        return None
     frac = bw / peak
+    # same-connection A/B of the MXU coverage reduction
+    bw_mxu = None
+    if not os.environ.get("PANACUS_TPU_COV"):
+        try:
+            os.environ["PANACUS_TPU_COV"] = "mxu"
+            pk.fused_hist_tpu.clear_cache()
+            bw_mxu = _slope_bw(make_kernel_chain, M.nbytes, K)
+        except Exception as e:  # pragma: no cover - lowering failure
+            sys.stderr.write(f"[bench] mxu-cov roofline failed: {e}\n")
+        finally:
+            os.environ.pop("PANACUS_TPU_COV", None)
+            pk.fused_hist_tpu.clear_cache()
     try:
         read_bw = _xor_read_bw(M)
     except Exception as e:  # pragma: no cover - lowering failure
@@ -306,15 +351,21 @@ def run_roofline():
         read_bw = None
     sys.stderr.write(
         f"[bench] roofline ({dev.device_kind}): {M.nbytes / 1e6:.0f} MB "
-        f"weighted hist in {t * 1e3:.1f} ms/pass => {bw / 1e9:.0f} GB/s = "
+        f"weighted hist => {bw / 1e9:.0f} GB/s = "
         f"{frac:.2f} of HBM peak ({peak / 1e9:.0f} GB/s)"
         + (
+            f"; mxu-cov variant {bw_mxu / 1e9:.0f} GB/s"
+            if bw_mxu
+            else ""
+        )
+        + (
             f"; raw xor read {read_bw / 1e9:.0f} GB/s => kernel at "
-            f"{bw / read_bw:.2f} of the session's streaming ceiling\n"
+            f"{bw / read_bw:.2f} of the connection's streaming ceiling\n"
             if read_bw
             else "\n"
         )
     )
+    run_roofline.bw_mxu = bw_mxu
     return bw, frac, read_bw
 
 
@@ -444,6 +495,9 @@ def run_inner() -> None:
     if frac is not None:
         out["device_bw_frac"] = round(frac, 3)
         out["device_bw_gbps"] = round(bw / 1e9, 1)
+        bw_mxu = getattr(run_roofline, "bw_mxu", None)
+        if bw_mxu:
+            out["device_bw_mxu_gbps"] = round(bw_mxu / 1e9, 1)
         if read_bw:
             # fraction of the SAME session's measured raw-read ceiling —
             # the honest speed-of-light number (tunnel session throughput
@@ -572,6 +626,9 @@ def run_roofline_only() -> None:
         bw, frac, read_bw = r
         out["device_bw_frac"] = round(frac, 3)
         out["device_bw_gbps"] = round(bw / 1e9, 1)
+        bw_mxu = getattr(run_roofline, "bw_mxu", None)
+        if bw_mxu:
+            out["device_bw_mxu_gbps"] = round(bw_mxu / 1e9, 1)
         if read_bw:
             out["device_read_gbps"] = round(read_bw / 1e9, 1)
             out["device_frac_of_read"] = round(bw / read_bw, 3)
