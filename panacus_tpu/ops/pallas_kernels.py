@@ -12,12 +12,14 @@ leaves VMEM. The bin index is split as bin = 32*coarse + fine, so per
 item only (n_bins/32 + 32) one-hot lanes are materialized instead of
 n_bins — hist2d[c, f] = (w * onehot_coarse) @ onehot_fine^T — which
 keeps the VPU compare/select work ~20x below the naive one-hot at 1k
-bins. Measured on TPU v5e (1 GiB M, 1026 bins): 326 GB/s vs 82 GB/s
-for the XLA one-hot path and ~280-375 GB/s for an XLA popcount-reduce
-that computes NO histogram at all — i.e. at kernel speed the weighted
-histogram is free on top of the mandatory popcount pass. (Raw xor
-streaming tops out at ~495 GB/s on the same chip, so the pass is
-popcount-VPU-bound, not DMA-bound.)
+bins. Measured on TPU v5e with RTT-free slope timing (1 GiB M, 1026
+bins, bench.py round 4): **631 GB/s = 0.77 of the 819 GB/s HBM
+nameplate = 0.998 of the same-connection raw xor-read streaming
+ceiling (632 GB/s)** — the full weighted histogram is completely hidden
+behind the memory stream. (Earlier rounds reported ~325 GB/s: a timing
+artifact — the tunnel's ~26 ms dispatch round trip amortized into
+single-chain wall clocks; see BASELINE.md.) The XLA one-hot formulation
+measures 82 GB/s on the same shape.
 
 Weights arrive as int32 vectors (one per histogram, e.g. node + bp
 sharing one pass over M); the kernel splits each into three 8-bit limb

@@ -39,7 +39,10 @@ def _load_probe_funcs():
     import bench
 
     def read_fn():
-        return bench._xor_read_bw(M, K=K)
+        # slope-timed since round 4 (the pre-fix read chain was hoisted to
+        # one pass and reported K*bytes/RTT — see BASELINE.md); 0.0 when
+        # the slope is unmeasurable
+        return bench._xor_read_bw(M, K=max(K, 16)) or 0.0
 
     def _pc_kernel(m_ref, w_ref, out_ref, acc):
         @pl.when(pl.program_id(0) == 0)

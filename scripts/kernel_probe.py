@@ -263,7 +263,14 @@ def fhm(Mx, w_vecs, n_bins, n_limbs=3):
 if variant == 'read':
     import bench
 
-    print(f'read: {bench._xor_read_bw(M, K=K)/1e9:.0f} GB/s', flush=True)
+    # bench._xor_read_bw now uses RTT-free slope timing (round 4 fixed a
+    # loop-hoist artifact that made every pre-fix read number K*bytes/RTT;
+    # see BASELINE.md); None means the slope was unmeasurable
+    bw = bench._xor_read_bw(M, K=max(K, 16))
+    print(
+        f'read: {bw/1e9:.0f} GB/s' if bw else 'read: unmeasurable',
+        flush=True,
+    )
     sys.exit(0)
 elif variant == 'pc':
     @jax.jit
