@@ -655,10 +655,19 @@ class GraphStorage:
                 self._pw_seq_spans.append((t2 + 1, t3))
             self.path_segments.append(seg)
 
-    def all_path_item_runs(self, path_indices: Optional[np.ndarray] = None):
+    def all_path_item_runs(
+        self,
+        path_indices: Optional[np.ndarray] = None,
+        pack: Optional[dict] = None,
+    ):
         """Tokenize P/W lines in one threaded native call — every line, or
         only `path_indices` (multi-host ingest: each host tokenizes its
         slice of the path set; see parallel/ingest.py).
+
+        `pack`: optional fused membership pack (streamed builder hot
+        path) — kwargs forwarded to tokenize_batch (pack_gbit,
+        pack_node_row, pack_edge_adj, pack_edge_row): each path's ids are
+        ORed into the rows inside the tokenize pass, cache-hot.
 
         Returns (ids, orient, prefsum, bp_per_path) over the selected paths
         (path k of the selection spans ids[prefsum[k]:prefsum[k+1]]), or
@@ -694,6 +703,8 @@ class GraphStorage:
                 sorted_vals=self._int_sorted,
                 sorted_ids=self._int_sorted_ids,
             )
+        if pack is not None:
+            kwargs.update(pack)
         return tokenize_batch(
             self._buf, spans[:, 0], spans[:, 1], walk, **kwargs
         )

@@ -208,6 +208,17 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         u8p, i64p, i64p, i64,  # buf, starts, ends, n
         i64p, ctypes.c_int32,  # slots, log2_slots
     ]
+    lib.pt_tokenize_pack.restype = i64
+    lib.pt_tokenize_pack.argtypes = (
+        lib.pt_tokenize_batch.argtypes[:-1]  # everything up to n_threads
+        + [
+            i64p,        # gbit
+            u32p, i64,   # node_row, node_len
+            i64p, u64p,  # row_off, adj_ent
+            u32p, i64,   # edge_row, edge_len
+            ctypes.c_int32,  # n_threads
+        ]
+    )
     return lib
 
 
@@ -453,6 +464,10 @@ def tokenize_batch(
     sorted_ids: Optional[np.ndarray] = None,
     node_lens: Optional[np.ndarray] = None,
     name_hash: Optional[Tuple[np.ndarray, int, np.ndarray, np.ndarray]] = None,
+    pack_gbit: Optional[np.ndarray] = None,
+    pack_node_row: Optional[np.ndarray] = None,
+    pack_edge_adj=None,
+    pack_edge_row: Optional[np.ndarray] = None,
     n_threads: int = 0,
 ):
     """Tokenize all path/walk spans in one threaded C call.
@@ -460,6 +475,12 @@ def tokenize_batch(
     Modes: 1 = identity int names, 2 = sorted-int lookup, 3 = string names
     via `name_hash` = (slots, log2_slots, name_starts, name_ends) from
     build_name_hash (spans into the same buf).
+
+    Fused membership pack: when `pack_gbit` (group bit per span) is given,
+    each span's freshly parsed ids are ORed — cache-hot — into
+    `pack_node_row` (uint32 row) and/or `pack_edge_row` (via the
+    `pack_edge_adj` CSR adjacency), eliminating the separate pack passes'
+    full re-read of the token array.
 
     Returns (ids int64[N], orient uint8[N], prefsum int64[n+1],
     bp uint64[n] or None) or None when the native lib is unavailable or any
@@ -517,7 +538,7 @@ def tokenize_batch(
     else:
         nh_log2 = 0
         nhs = nst = nen = ctypes.cast(None, i64p)
-    rc = lib.pt_tokenize_batch(
+    common = (
         _as_u8p(buf),
         s.ctypes.data_as(i64p),
         e.ctypes.data_as(i64p),
@@ -539,8 +560,37 @@ def tokenize_batch(
         ctypes.c_int32(nh_log2),
         nst,
         nen,
-        ctypes.c_int32(n_threads),
     )
+    if pack_gbit is not None:
+        gb = np.ascontiguousarray(pack_gbit, dtype=np.int64)
+        if pack_edge_row is not None:
+            row_off, adj_ent = pack_edge_adj
+            ro = row_off.ctypes.data_as(i64p)
+            ae = adj_ent.ctypes.data_as(u64p)
+            er = pack_edge_row.ctypes.data_as(u32p)
+            el = len(pack_edge_row)
+        else:
+            ro = ctypes.cast(None, i64p)
+            ae = ctypes.cast(None, u64p)
+            er = ctypes.cast(None, u32p)
+            el = 0
+        rc = lib.pt_tokenize_pack(
+            *common,
+            gb.ctypes.data_as(i64p),
+            pack_node_row.ctypes.data_as(u32p)
+            if pack_node_row is not None
+            else ctypes.cast(None, u32p),
+            ctypes.c_int64(
+                len(pack_node_row) if pack_node_row is not None else 0
+            ),
+            ro,
+            ae,
+            er,
+            ctypes.c_int64(el),
+            ctypes.c_int32(n_threads),
+        )
+    else:
+        rc = lib.pt_tokenize_batch(*common, ctypes.c_int32(n_threads))
     if rc < 0:
         return None
     return ids[:rc], orient[:rc], prefsum, bp

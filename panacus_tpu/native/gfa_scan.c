@@ -222,6 +222,14 @@ typedef struct {
     int32_t nh_log2;
     const int64_t* nh_starts;
     const int64_t* nh_ends;
+    /* fused membership pack (pt_tokenize_pack): right after a span's ids
+     * are written — still hot in cache — OR them into per-thread private
+     * node/edge rows ([0] = the caller's buffer). NULL = tokenize only. */
+    const int64_t* fp_gbit;      /* group bit index per span */
+    uint32_t* fp_node_rows[8];
+    uint32_t* fp_edge_rows[8];
+    const int64_t* fp_row_off;   /* CSR adjacency for the edge pack */
+    const uint64_t* fp_adj_ent;
     int64_t err;        /* 0 ok, else -(span_idx+1) of first failure */
     int64_t next;       /* work-stealing cursor (guarded by lock) */
     int phase;
@@ -378,9 +386,37 @@ static int parse_span_names(batch_ctx* c, int64_t k)
     return 0;
 }
 
-static int parse_span(batch_ctx* c, int64_t k)
+/* defined later in the file (edge/membership pack helpers) */
+static int64_t pack_pairs_row(
+    const int64_t* ids, const uint8_t* orient, int64_t a, int64_t b,
+    uint32_t bit, uint32_t* row,
+    const int64_t* row_off, const uint64_t* adj_ent);
+static void pack_items_row(
+    const int64_t* ids, int64_t a, int64_t b, uint32_t bit, uint32_t* row);
+
+/* fused pack of span k's freshly written ids (cache-hot). Returns 0 or
+ * a negative error. */
+static int64_t fused_pack_span(batch_ctx* c, int64_t k, int tid)
 {
-    if (c->mode == 3) return parse_span_names(c, k);
+    if (!c->fp_gbit) return 0;
+    uint32_t bit = (uint32_t)1 << c->fp_gbit[k];
+    int64_t a = c->prefsum[k], b = c->prefsum[k + 1];
+    if (c->fp_node_rows[0])
+        pack_items_row(c->out_ids, a, b, bit, c->fp_node_rows[tid]);
+    if (c->fp_edge_rows[0])
+        return pack_pairs_row(
+            c->out_ids, c->out_orient, a, b, bit,
+            c->fp_edge_rows[tid], c->fp_row_off, c->fp_adj_ent);
+    return 0;
+}
+
+static int parse_span(batch_ctx* c, int64_t k, int tid)
+{
+    if (c->mode == 3) {
+        int r = parse_span_names(c, k);
+        if (r != 0) return r;
+        return fused_pack_span(c, k, tid) == 0 ? 0 : -1;
+    }
     const uint8_t* s = c->buf;
     int64_t a = c->starts[k], b = c->ends[k];
     int64_t* ids = c->out_ids + c->prefsum[k];
@@ -422,17 +458,23 @@ static int parse_span(batch_ctx* c, int64_t k)
         }
     }
     if (c->bp_out) c->bp_out[k] = bp;
-    return 0;
+    return fused_pack_span(c, k, tid) == 0 ? 0 : -1;
 }
 
-static void* batch_worker(void* arg)
+typedef struct {
+    batch_ctx* c;
+    int tid;
+} batch_arg;
+
+static void* batch_worker(void* argp)
 {
-    batch_ctx* c = (batch_ctx*)arg;
+    batch_arg* ba = (batch_arg*)argp;
+    batch_ctx* c = ba->c;
     int64_t k;
     while ((k = grab_span(c)) >= 0) {
         if (c->phase == 0) {
             count_span(c, k);
-        } else if (parse_span(c, k) != 0) {
+        } else if (parse_span(c, k, ba->tid) != 0) {
             set_err(c, k);
         }
     }
@@ -445,19 +487,29 @@ static void run_phase(batch_ctx* c, int phase, int32_t n_threads)
     c->next = 0;
     if (n_threads > c->n_spans) n_threads = (int32_t)c->n_spans;
     if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    /* fused-pack callers clamp to 8 (private-row slots) before calling */
+    batch_arg args[64];
     if (n_threads == 1) {
-        batch_worker(c);
+        args[0].c = c;
+        args[0].tid = 0;
+        batch_worker(&args[0]);
         return;
     }
     pthread_t tids[64];
-    if (n_threads > 64) n_threads = 64;
     int spawned = 0;
-    for (int t = 0; t < n_threads - 1; t++) {
-        if (pthread_create(&tids[t], NULL, batch_worker, c) == 0) spawned++;
-        else break;
+    for (int t = 1; t < n_threads; t++) {
+        args[t].c = c;
+        args[t].tid = t;
+        if (pthread_create(&tids[t], NULL, batch_worker, &args[t]) == 0)
+            spawned++;
+        else
+            break;
     }
-    batch_worker(c);
-    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    args[0].c = c;
+    args[0].tid = 0;
+    batch_worker(&args[0]);
+    for (int t = 1; t <= spawned; t++) pthread_join(tids[t], NULL);
 }
 
 /* Phase A standalone: count tokens per span (threaded separator scan) and
@@ -471,6 +523,7 @@ EXPORT int64_t pt_count_tokens(
         buf, starts, ends, walk, n_spans, prefsum, counts,
         NULL, NULL, 0, 0, NULL, NULL, 0, NULL, NULL,
         NULL, 0, NULL, NULL,
+        NULL, {NULL}, {NULL}, NULL, NULL,
         0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     run_phase(&c, 0, n_threads);
@@ -504,11 +557,93 @@ EXPORT int64_t pt_tokenize_batch(
         out_ids, out_orient, mode, n_items,
         sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
         name_slots, name_log2, name_starts, name_ends,
+        NULL, {NULL}, {NULL}, NULL, NULL,
         0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     int64_t tot = prefsum[n_spans];
     if (tot > cap_ids) return -1000000000 - tot;
     run_phase(&c, 1, n_threads);
+    if (c.err) return c.err;
+    return tot;
+}
+
+/* Fused tokenize + membership pack: phase B additionally ORs each span's
+ * freshly parsed ids (cache-hot) into node and/or edge membership rows —
+ * the separate pack passes re-read the whole token array (~8 bytes/token)
+ * from DRAM; fusing removes those reads entirely. gbit[k] is span k's
+ * group bit. node_row / edge_row are the caller's zeroed uint32 rows
+ * (either may be NULL); edge pack resolves pairs through the CSR
+ * adjacency (row_off/adj_ent). Extra threads scatter into private zeroed
+ * rows merged after the join (OR is idempotent + commutative).
+ * Returns total token count, or negative on error (caller falls back to
+ * tokenize + separate packs). */
+EXPORT int64_t pt_tokenize_pack(
+    const uint8_t* buf,
+    const int64_t* starts, const int64_t* ends, const uint8_t* walk,
+    int64_t n_spans,
+    int64_t* prefsum, int64_t* counts,
+    int64_t* out_ids, uint8_t* out_orient, int64_t cap_ids,
+    int32_t mode, int64_t n_items,
+    const int64_t* sorted_vals, const int64_t* sorted_ids, int64_t n_sorted,
+    const uint32_t* node_lens, uint64_t* bp_out,
+    const int64_t* name_slots, int32_t name_log2,
+    const int64_t* name_starts, const int64_t* name_ends,
+    const int64_t* gbit,
+    uint32_t* node_row, int64_t node_len,
+    const int64_t* row_off, const uint64_t* adj_ent,
+    uint32_t* edge_row, int64_t edge_len,
+    int32_t n_threads)
+{
+    batch_ctx c = {
+        buf, starts, ends, walk, n_spans, prefsum, counts,
+        out_ids, out_orient, mode, n_items,
+        sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
+        name_slots, name_log2, name_starts, name_ends,
+        gbit, {node_row}, {edge_row}, row_off, adj_ent,
+        0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+    };
+    int64_t tot = prefsum[n_spans];
+    if (tot > cap_ids) return -1000000000 - tot;
+    if (n_threads > 8) n_threads = 8;
+    if (n_threads > (int32_t)n_spans) n_threads = (int32_t)n_spans;
+    if (n_threads < 1) n_threads = 1;
+    /* private rows for threads 1..n-1 */
+    int alloc_ok = 1;
+    for (int t = 1; t < n_threads; t++) {
+        if (node_row) {
+            c.fp_node_rows[t] =
+                (uint32_t*)calloc((size_t)node_len, sizeof(uint32_t));
+            if (!c.fp_node_rows[t]) alloc_ok = 0;
+        }
+        if (edge_row) {
+            c.fp_edge_rows[t] =
+                (uint32_t*)calloc((size_t)edge_len, sizeof(uint32_t));
+            if (!c.fp_edge_rows[t]) alloc_ok = 0;
+        }
+        if (!alloc_ok) {
+            n_threads = t;
+            if (node_row && c.fp_node_rows[t]) free(c.fp_node_rows[t]);
+            if (edge_row && c.fp_edge_rows[t]) free(c.fp_edge_rows[t]);
+            c.fp_node_rows[t] = NULL;
+            c.fp_edge_rows[t] = NULL;
+            break;
+        }
+    }
+    run_phase(&c, 1, n_threads);
+    for (int t = 1; t < n_threads; t++) {
+        if (c.fp_node_rows[t]) {
+            if (!c.err)
+                for (int64_t i = 0; i < node_len; i++)
+                    node_row[i] |= c.fp_node_rows[t][i];
+            free(c.fp_node_rows[t]);
+        }
+        if (c.fp_edge_rows[t]) {
+            if (!c.err)
+                for (int64_t i = 0; i < edge_len; i++)
+                    edge_row[i] |= c.fp_edge_rows[t][i];
+            free(c.fp_edge_rows[t]);
+        }
+    }
     if (c.err) return c.err;
     return tot;
 }
@@ -1422,6 +1557,50 @@ typedef struct {
     int tid;
 } pack_arg;
 
+/* OR the canonical edge ids of consecutive pairs ids[a..b) into `row`
+ * with `bit` (staged prefetch blocks). Returns 0, or -(token_idx+1) of
+ * the first unknown pair. Shared by the standalone packer and the fused
+ * tokenize+pack path. */
+static int64_t pack_pairs_row(
+    const int64_t* ids, const uint8_t* orient, int64_t a, int64_t b,
+    uint32_t bit, uint32_t* row,
+    const int64_t* row_off, const uint64_t* adj_ent)
+{
+    int64_t cu_b[ADJ_BLK];
+    uint64_t vk_b[ADJ_BLK];
+    int64_t eid_b[ADJ_BLK];
+    for (int64_t base = a; base + 1 < b; base += ADJ_BLK) {
+        int64_t n = b - 1 - base;
+        if (n > ADJ_BLK) n = ADJ_BLK;
+        for (int64_t i = 0; i < n; i++) {
+            canon_pair(ids, orient, base + i, &cu_b[i], &vk_b[i]);
+            __builtin_prefetch(&row_off[cu_b[i]], 0, 1);
+        }
+        for (int64_t i = 0; i < n; i++)
+            __builtin_prefetch(&adj_ent[row_off[cu_b[i]]], 0, 1);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t eid = edge_adj_get(row_off, adj_ent, cu_b[i], vk_b[i]);
+            if (!eid) return -(base + i + 1);
+            eid_b[i] = eid;
+            __builtin_prefetch(&row[eid], 1, 1);
+        }
+        for (int64_t i = 0; i < n; i++) row[eid_b[i]] |= bit;
+    }
+    return 0;
+}
+
+/* OR item ids[a..b) into `row` with `bit` (node membership pack). */
+static void pack_items_row(
+    const int64_t* ids, int64_t a, int64_t b, uint32_t bit, uint32_t* row)
+{
+    int64_t k = a;
+    for (; k + 16 <= b; k++) {
+        __builtin_prefetch(&row[ids[k + 16]], 1, 1);
+        row[ids[k]] |= bit;
+    }
+    for (; k < b; k++) row[ids[k]] |= bit;
+}
+
 static void* pack_worker(void* argp)
 {
     pack_arg* pa = (pack_arg*)argp;
@@ -1433,32 +1612,14 @@ static void* pack_worker(void* argp)
         pthread_mutex_unlock(&c->lock);
         if (p < 0) return NULL;
         uint32_t bit = (uint32_t)1 << c->gbit[p];
-        int64_t a = c->prefsum[p], b = c->prefsum[p + 1];
-        int64_t cu_b[ADJ_BLK];
-        uint64_t vk_b[ADJ_BLK];
-        int64_t eid_b[ADJ_BLK];
-        for (int64_t base = a; base + 1 < b; base += ADJ_BLK) {
-            int64_t n = b - 1 - base;
-            if (n > ADJ_BLK) n = ADJ_BLK;
-            for (int64_t i = 0; i < n; i++) {
-                canon_pair(c->ids, c->orient, base + i, &cu_b[i], &vk_b[i]);
-                __builtin_prefetch(&c->row_off[cu_b[i]], 0, 1);
-            }
-            for (int64_t i = 0; i < n; i++)
-                __builtin_prefetch(&c->adj_ent[c->row_off[cu_b[i]]], 0, 1);
-            for (int64_t i = 0; i < n; i++) {
-                int64_t eid = edge_adj_get(
-                    c->row_off, c->adj_ent, cu_b[i], vk_b[i]);
-                if (!eid) {
-                    pthread_mutex_lock(&c->lock);
-                    if (!c->err) c->err = -(base + i + 1);
-                    pthread_mutex_unlock(&c->lock);
-                    return NULL;
-                }
-                eid_b[i] = eid;
-                __builtin_prefetch(&row[eid], 1, 1);
-            }
-            for (int64_t i = 0; i < n; i++) row[eid_b[i]] |= bit;
+        int64_t rc = pack_pairs_row(
+            c->ids, c->orient, c->prefsum[p], c->prefsum[p + 1],
+            bit, row, c->row_off, c->adj_ent);
+        if (rc != 0) {
+            pthread_mutex_lock(&c->lock);
+            if (!c->err) c->err = rc;
+            pthread_mutex_unlock(&c->lock);
+            return NULL;
         }
     }
 }

@@ -326,8 +326,10 @@ def streamed_total_abaci(
                 ),
             )
 
-    def consume_edge(slab, batch):
-        """Edge-table bookkeeping + edge row pack/feed for one slab."""
+    def consume_edge(slab, batch, fused_row=None):
+        """Edge-table bookkeeping + edge row pack/feed for one slab.
+        `fused_row`: the row was already packed inside the tokenize pass
+        (pt_tokenize_pack) — just feed it."""
         ids, orient, prefsum, bp = batch
         if edge_fused:
             # fused path: lookup + group-bit OR in one C pass, no
@@ -335,6 +337,9 @@ def streamed_total_abaci(
             # for on-demand export
             edge_table.add_slab(slab.path_ids, ids, orient, prefsum)
             if slab.word >= 0:
+                if fused_row is not None:
+                    edge_stream.feed(slab.word, fused_row)
+                    return
                 from .native import pack_edges_adj
 
                 row = edge_stream.host_row(slab.word)
@@ -378,11 +383,48 @@ def streamed_total_abaci(
 
         stashed = []
         for slab in slabs:
-            batch = graph.all_path_item_runs(slab.path_ids)
+            # fused tokenize+pack: when the membership rows are host-placed
+            # the C tokenizer ORs each path's ids into them while they are
+            # still cache-hot, removing the separate pack passes' full
+            # re-read of the token array
+            fused_node_row = fused_edge_row = None
+            pack = {}
+            if slab.word >= 0:
+                if need_node:
+                    fused_node_row = node_stream.host_row(slab.word)
+                    if fused_node_row is not None:
+                        pack["pack_node_row"] = fused_node_row
+                if need_edge and edge_stream is None and _edge_index_ready():
+                    # ready the edge stream BEFORE tokenizing so the edge
+                    # pack rides the same pass
+                    make_edge_stream()
+                    for s_prev, b_prev in stashed:
+                        consume_edge(s_prev, b_prev)
+                    stashed = []
+                if need_edge and edge_stream is not None and edge_fused:
+                    erow = edge_stream.host_row(slab.word)
+                    adj = graph.edge_adj()
+                    if erow is not None and adj is not None:
+                        pack["pack_edge_row"] = erow
+                        pack["pack_edge_adj"] = adj
+                        fused_edge_row = erow
+                if pack:
+                    pack["pack_gbit"] = np.ascontiguousarray(
+                        slab.gidx_rel, dtype=np.int64
+                    )
+            batch = graph.all_path_item_runs(
+                slab.path_ids, pack=pack or None
+            )
             if batch is None:  # tokenizer bailed: let the classic path run
                 return None
             if need_node:
-                consume_node(slab, batch, True)
+                consume_node(
+                    slab,
+                    batch,
+                    pack.get("pack_node_row") is None,
+                )
+                if fused_node_row is not None:
+                    node_stream.feed(slab.word, fused_node_row)
             if need_edge:
                 if edge_stream is None and _edge_index_ready():
                     make_edge_stream()
@@ -390,7 +432,7 @@ def streamed_total_abaci(
                         consume_edge(s_prev, b_prev)
                     stashed = []
                 if edge_stream is not None:
-                    consume_edge(slab, batch)
+                    consume_edge(slab, batch, fused_row=fused_edge_row)
                 else:
                     stashed.append((slab, batch))
         if need_edge:
