@@ -38,6 +38,7 @@ def gen_instance(rng):
     n_samples = int(rng.integers(1, 4))
     n_paths = int(rng.integers(2, 6))
     paths = []  # (name, sample, offset, [(nid, orient)])
+    walk_flags = []
     for k in range(n_paths):
         sample = f"s{int(rng.integers(0, n_samples))}"
         n_visits = int(rng.integers(1, 11))
@@ -46,13 +47,18 @@ def gen_instance(rng):
             for _ in range(n_visits)
         ]
         bp = sum(lens[v] for v, _ in visits)
-        if rng.random() < 0.25:
+        # ~30% render as W lines — a walk's start/end fields always give
+        # the PathSegment coords, so its span is (start, start+bp) even
+        # at offset 0 (unlike an un-suffixed P name, whose span is open)
+        walk = rng.random() < 0.3
+        if walk or rng.random() < 0.25:
             off = int(rng.integers(0, 20))
             name = f"{sample}#1#p{k}:{off}-{off + bp}"
             offset = off
         else:
             name = f"{sample}#1#p{k}"
             offset = 0
+        walk_flags.append(walk)
         paths.append((name, sample, offset, visits, bp))
 
     lines = ["H\tVN:Z:1.0"]
@@ -66,9 +72,15 @@ def gen_instance(rng):
         lines.append(
             f"L\t{u}\t{'-' if o1 else '+'}\t{v}\t{'-' if o2 else '+'}\t0M"
         )
-    for name, _, _, visits, _ in paths:
-        toks = ",".join(f"{v}{'-' if o else '+'}" for v, o in visits)
-        lines.append(f"P\t{name}\t{toks}\t*")
+    for k, (name, sample, offset, visits, bp) in enumerate(paths):
+        if walk_flags[k]:
+            toks = "".join(f"{'<' if o else '>'}{v}" for v, o in visits)
+            lines.append(
+                f"W\t{sample}\t1\tp{k}\t{offset}\t{offset + bp}\t{toks}"
+            )
+        else:
+            toks = ",".join(f"{v}{'-' if o else '+'}" for v, o in visits)
+            lines.append(f"P\t{name}\t{toks}\t*")
     gfa_text = "\n".join(lines) + "\n"
 
     def gen_bed(p_any):
