@@ -228,7 +228,19 @@ def _ordered_growth_block_body(M_block, weights_block, thr_table, c_min: int):
     cum = jnp.cumsum(P, axis=0, dtype=jnp.int32)
     gidx = jnp.arange(n_groups, dtype=jnp.int32).reshape(-1, 1)
     lp = jax.lax.cummax(jnp.where(P > 0, gidx, -1), axis=0)
-    thr = thr_table[lp + 1]
+    lp1 = lp + 1
+    if n_groups <= 512:
+        # TPU lowers the [G, B]-shaped table gather through the scalar
+        # unit — it was 600 of the 684 ms ordered-growth wall on the
+        # 900k x 90 bench shape. An unrolled select chain over the small
+        # table is exact and vector-unit work: 684 -> 68 ms measured.
+        # Static-index thr_table[g] is a slice, not a gather.
+        thr = jnp.zeros_like(cum)
+        for g in range(n_groups + 1):
+            thr = jnp.where(lp1 == g, thr_table[g], thr)
+    else:  # unroll would bloat the trace; gather stays acceptable vs
+        # the O(G^2 B / 32) unpack+scan work at this size
+        thr = thr_table[lp1]
     total = cum[-1]
     ok = (cum >= thr) & (cum >= 1) & (total >= c_min).reshape(1, -1)
     return jnp.sum(

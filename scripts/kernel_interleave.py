@@ -1,10 +1,16 @@
 """Interleaved same-process kernel measurement (TPU hardware).
 
-The tunnel's session throughput drifts minute-to-minute, which makes
-one-variant-per-process ABBA brackets mushy. This runs ALL requested
-variants round-robin inside ONE process: every round times every variant
-back-to-back within a few seconds, so per-round ratios (variant / read)
-are window-invariant even while absolute GB/s drifts.
+HISTORICAL NOTE (round 4): the "drifting window" this script was built
+to bracket turned out to be a measurement artifact — chain-wall/K
+timing amortizes the tunnel's ~26 ms RTT into every pass, and the old
+read control was loop-hoisted entirely (BASELINE.md post-mortem). The
+`read` variant is now slope-timed; kernel variants remain single-chain
+(RELATIVE ordering is still meaningful, absolute GB/s is biased low by
+the shared RTT constant). Resolved truth: the production kernel is at
+0.998 of the raw streaming ceiling — all formulations are memory-bound.
+
+This runs ALL requested variants round-robin inside ONE process: every
+round times every variant back-to-back within a few seconds.
 
     python scripts/kernel_interleave.py [rounds] [variant ...]
 

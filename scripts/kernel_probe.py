@@ -11,13 +11,15 @@ retries cheap once a variant has compiled):
     python scripts/kernel_probe.py fh21    # fine-folded weights, 1 limb
     python scripts/kernel_probe.py parity  # fh2 == production on random input
 
-The fine-folded formulation moves the per-limb weight select to the
-32-lane FINE plane and shares the coarse one-hot across limbs —
-structurally ~(n_limbs-1)*n_coarse fewer VPU lanes per item than the
-production kernel (ops/pallas_kernels.py), a ~20% hist-side saving at 3
-limbs; only a fast-stable tunnel window can confirm (see BASELINE.md's
-speed-of-light accounting). Run each variant under `timeout` and gate on
-`python bench.py --probe`.
+HISTORICAL NOTE (round 4): chain-wall/K numbers from this script carry
+the tunnel's ~26 ms RTT amortized into every pass — the round-3/4
+"drifting window" was that artifact (BASELINE.md has the post-mortem).
+Only the `read` variant has been converted to RTT-free slope timing;
+kernel variants remain single-chain (their RELATIVE ordering is still
+meaningful since the bias is a shared constant). The resolved truth:
+the production kernel runs at 0.998 of the raw streaming ceiling, so
+formulation differences are noise — all variants are memory-bound.
+Run each variant under `timeout` and gate on `python bench.py --probe`.
 """
 import functools, os, sys, time
 
