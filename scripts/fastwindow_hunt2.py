@@ -1,5 +1,10 @@
 """Single-process fast-window hunter (TPU hardware).
 
+HISTORICAL (round 4): the "fast/slow window" this hunted turned out to
+be a timing artifact — the pre-fix read probe reported K*bytes/RTT (the
+hunter's K=8 polls read ~330, the roofline's K=16 read ~650, same chip,
+same time). See BASELINE.md's post-mortem; kept as methodology history.
+
 Compiles every probe variant once, then polls the raw-read bandwidth;
 the moment a window >= THRESH GB/s appears it runs the full interleaved
 battery IN THE SAME PROCESS (no recompile, same-second brackets) and

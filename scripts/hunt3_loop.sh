@@ -1,9 +1,8 @@
 #!/bin/bash
-# Fresh-connection fast-window sampler: the tunnel's throughput is
-# per-CONNECTION (two simultaneous processes measured 653 vs 325 GB/s on
-# the same chip), so each attempt spawns a NEW process; one that lands a
-# fast connection runs the interleaved battery in-process before the luck
-# changes. Exit 0 = captured.
+# HISTORICAL (round 4): the "653 vs 325 GB/s simultaneous connections"
+# that motivated this sampler were K=16 vs K=8 probes against the same
+# ~26 ms RTT floor — a timing artifact, not connection luck (BASELINE.md
+# post-mortem). Kept as methodology history. Exit 0 = battery captured.
 cd "$(dirname "$0")/.."
 LOG=${LOG:-/tmp/hunt3.log}
 N=${N:-200}
