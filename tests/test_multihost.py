@@ -88,18 +88,22 @@ def _dist_env(port: int, pid: int, n_proc: int = 2):
 
 
 def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240, retries=1):
-    """Run the two coordinator-linked processes; retry once with a fresh
-    port on transient failures (port races / coordinator startup)."""
+    return _launch_n([cmd0, cmd1], port, cwd, timeout, retries)
+
+
+def _launch_n(cmds, port, cwd=REPO, timeout=240, retries=1):
+    """Run coordinator-linked processes; retry once with a fresh port on
+    transient failures (port races / coordinator startup)."""
     procs = [
         subprocess.Popen(
             cmd,
-            env=_dist_env(port, pid),
+            env=_dist_env(port, pid, n_proc=len(cmds)),
             cwd=cwd,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for pid, cmd in enumerate([cmd0, cmd1])
+        for pid, cmd in enumerate(cmds)
     ]
     outs = []
     timed_out = False
@@ -113,9 +117,7 @@ def _launch_pair(cmd0, cmd1, port, cwd=REPO, timeout=240, retries=1):
         timed_out = True
     failed = timed_out or any(rc != 0 for rc, _, _ in outs)
     if failed and retries > 0:
-        return _launch_pair(
-            cmd0, cmd1, _free_port(), cwd, timeout, retries - 1
-        )
+        return _launch_n(cmds, _free_port(), cwd, timeout, retries - 1)
     if timed_out:
         pytest.skip("distributed runtime timed out on this box")
     for rc, out, err in outs:
@@ -208,6 +210,38 @@ def test_two_process_group_abacus_fallback(tmp_path):
         want_ordered.append(float(seen[1:].sum()))
     assert r0["ordered"] == want_ordered
     assert r0["sim_trace"] == float(mem.sum())
+
+
+def test_three_process_shared_word_assembly(tmp_path):
+    """THREE processes over 40 groups: the payload-balanced cuts land
+    inside word 0, so its global row is assembled from up to three
+    bit-disjoint partial rows (the gather-and-add path with max_k > 1) —
+    results must still match the oracle on every process."""
+    gfa = str(tmp_path / "mh3.gfa")
+    visits_all, lens, _ = _write_fixture(gfa)
+    node_hist, bp_hist = _oracle_hists(visits_all, lens)
+    port = _free_port()
+    outs_paths = [str(tmp_path / f"t{p}.json") for p in range(3)]
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_n(
+        [[sys.executable, worker, gfa, op] for op in outs_paths],
+        port,
+        timeout=300,
+    )
+    rs = [json.load(open(op)) for op in outs_paths]
+    assert rs[0]["n_processes"] == 3 and rs[0]["n_devices"] == 6
+    assert rs[0]["path_sliced"]
+    for r in rs:
+        assert r["node_hist"] == node_hist.tolist()
+        assert r["bp_hist"] == bp_hist.tolist()
+    # three-way payload split, covering the payload exactly once
+    fr = [
+        r["mh_stats"]["tokenized_payload_bytes"]
+        / r["mh_stats"]["total_payload_bytes"]
+        for r in rs
+    ]
+    assert abs(sum(fr) - 1.0) < 1e-9, fr
+    assert all(0.15 < f < 0.55 for f in fr), fr
 
 
 def test_two_process_excluded_runs_path_sliced(tmp_path):
