@@ -488,7 +488,9 @@ static void run_phase(batch_ctx* c, int phase, int32_t n_threads)
     if (n_threads > c->n_spans) n_threads = (int32_t)c->n_spans;
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
-    /* fused-pack callers clamp to 8 (private-row slots) before calling */
+    /* fused pack: tids index the fixed fp_*_rows[8] arrays — enforce the
+     * clamp structurally, not just in pt_tokenize_pack */
+    if (c->fp_gbit && n_threads > 8) n_threads = 8;
     batch_arg args[64];
     if (n_threads == 1) {
         args[0].c = c;

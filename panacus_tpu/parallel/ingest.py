@@ -201,6 +201,13 @@ def assemble_global_matrix(
     n_local = len(local)
     wpp2 = rows.shape[0]
     assert rows.shape == (wpp2, n_items_pad), (rows.shape, n_items_pad)
+    # every slot must address a row inside the global [n_proc * wpp2] block
+    # layout — catches a rows block built with a different wpp2 than slots
+    assert int(slots.max(initial=-1)) < n_proc * wpp2, (
+        slots.max(),
+        n_proc,
+        wpp2,
+    )
     assert n_items_pad % n_local == 0
     cols = n_items_pad // n_local
     mesh_rows = Mesh(
@@ -421,9 +428,11 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
                 edge_excl[eids[e_pref[k] : e_pref[k + 1]]] = True
 
     if exc_pids:
-        # merge each process's excluded-item marks and zero those columns in
-        # the local word rows BEFORE assembly (every word row is owned by
-        # exactly one process, so local zeroing == global column zeroing)
+        # merge each process's excluded-item marks and zero those columns
+        # in the local partial rows BEFORE assembly. Words may be SHARED
+        # between processes (group-range partition), but every process
+        # zeroes the same merged column set in its own partials, so the
+        # carry-free sum of partials is zero in those columns too.
         parts = [
             np.packbits(t) for t in (node_excl, edge_excl) if t is not None
         ]
@@ -438,14 +447,12 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
             idx = np.flatnonzero(
                 np.unpackbits(merged[:nb])[: node_engine.n_items_pad]
             )
-            idx = idx[idx != 0]  # sentinel slot untouched (already zero)
             R_node[:, idx] = 0
             off = nb
         if edge_excl is not None:
             idx = np.flatnonzero(
                 np.unpackbits(merged[off:])[: edge_engine.n_items_pad]
             )
-            idx = idx[idx != 0]
             R_edge[:, idx] = 0
 
     if need_node:

@@ -26,7 +26,12 @@ import jax, jax.numpy as jnp, numpy as np
 
 
 def _load_probe_funcs():
-    """Re-create the probe kernels without executing kernel_probe's CLI."""
+    """Re-create the probe kernels without executing kernel_probe's CLI.
+
+    Deliberate duplication: kernel_probe.py runs its CLI at import time,
+    and both scripts are frozen measurement-methodology history (see the
+    module docstring) — the PRODUCTION formulations live solely in
+    panacus_tpu/ops/pallas_kernels.py."""
     import functools
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
