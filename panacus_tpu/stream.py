@@ -26,6 +26,7 @@ ported: the reference has no device, so it has nothing to overlap.
 
 from __future__ import annotations
 
+import os
 import logging
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -286,6 +287,18 @@ def streamed_total_abaci(
         serial = host_row_placement(
             graph.number_of_items(CountType.NODE), n_groups
         )
+    if not serial:
+        from .runtime import effective_threads
+
+        # few-core hosts: the pipeline worker oversubscribes the threaded
+        # C stages even with device-placed rows — device_put transfers are
+        # async under the serial loop too (A/B on the 2-core build box,
+        # forced-device -c all: serial 219 vs pipelined 203 MB/s)
+        serial = effective_threads() <= 2
+    # PANACUS_TPU_STREAM_SERIAL=1/0 overrides the schedule
+    ser_env = os.environ.get("PANACUS_TPU_STREAM_SERIAL")
+    if ser_env is not None:
+        serial = ser_env not in ("0", "")
 
     def make_edge_stream():
         """Create the edge stream/table; joins the async L-line indexer."""
