@@ -158,11 +158,28 @@ def ref_total_coverage(cov_iv, exc_iv):
     return res
 
 
+def bed_exact_names(bed_text):
+    """Full segment identities of BED rows ('base:a-b', or 'base' for
+    name-only rows) — a row whose segment EQUALS a path's segment removes
+    that path from the group ordering (reference get_path_order:
+    abacus.rs:310-347 filters path_segments by set membership of the
+    exclude list, coords included)."""
+    if bed_text is None:
+        return frozenset()
+    out = set()
+    for row in bed_text.strip().splitlines():
+        f = row.split("\t")
+        out.add(f[0] if len(f) < 3 else f"{f[0]}:{f[1]}-{f[2]}")
+    return frozenset(out)
+
+
 class Oracle:
-    def __init__(self, model, include_map, exclude_map):
+    def __init__(self, model, include_map, exclude_map,
+                 exclude_exact=frozenset()):
         self.lens, self.paths, self.edges = model
         self.include_map = include_map
         self.exclude_map = exclude_map
+        self.exclude_exact = exclude_exact
         n_nodes = len(self.lens) - 1
         # canonical edge ids in L-line order (mirrors first-occurrence order
         # of the sorted edge list fed to the GFA)
@@ -203,7 +220,14 @@ class Oracle:
         if self.include_map is not None:
             mention = [b for b in self.include_map if b in sample_of]
         else:
-            mention = [name.split(":")[0] for name, *_ in self.paths]
+            # exclude-only: a path whose FULL segment (incl. coords)
+            # equals an exclude row drops out of the ordering, so its
+            # group is only mentioned through its other paths
+            mention = [
+                name.split(":")[0]
+                for name, *_ in self.paths
+                if name not in self.exclude_exact
+            ]
         groups = []
         path_order = []
         seen = set()
@@ -430,7 +454,12 @@ def test_masked_bp_oracle(tmp_path, seed):
         g, abaci, groups, itemized = run_production(
             tmp_path, f"{seed}_{case}", gfa_text, include, exclude
         )
-        oracle = Oracle(model, merge_bed(include), merge_bed(exclude))
+        oracle = Oracle(
+            model,
+            merge_bed(include),
+            merge_bed(exclude),
+            bed_exact_names(exclude),
+        )
         oracle.run()
         _, ogroups = oracle.group_order()
         ctx = f"seed={seed} case={case}\n{gfa_text}\ninc={include}\nexc={exclude}"
@@ -448,3 +477,41 @@ def test_masked_bp_oracle(tmp_path, seed):
         got_edge = abaci[CountType.EDGE].construct_hist()
         want_edge = oracle.edge_hist(n_groups)
         assert got_edge.tolist() == want_edge.tolist(), f"edge hist\n{ctx}"
+
+
+def test_exact_exclude_row_drops_path_from_ordering(tmp_path):
+    """An exclude BED row whose segment EQUALS a path's full segment
+    (base + coords — W lines always carry coords) removes that path from
+    the group ordering (reference abacus.rs:310-347); a group whose only
+    path is dropped loses its hist column entirely. Found by the round-4
+    extended oracle sweep (seed 1046, case 4)."""
+    gfa = tmp_path / "exact.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAA\nS\t2\tAA\nS\t3\tAAAA\n"
+        "L\t1\t+\t2\t+\t0M\nL\t2\t+\t3\t+\t0M\n"
+        "P\ta#1#p0\t1+,2+\t*\n"
+        "W\tb\t1\tp1\t2\t8\t>2>3\n"
+    )
+    bed = tmp_path / "exc.bed"
+    # exactly the W path's (start, end) -> segment-equal -> dropped
+    bed.write_text("b#1#p1\t2\t8\n")
+    from panacus_tpu.gfa import GraphStorage
+    from panacus_tpu.mask import GraphMask, GraphMaskParameters
+    from panacus_tpu.itemize import itemize_paths
+    from panacus_tpu.abacus import AbacusByTotal, path_order_groups
+    from panacus_tpu.utils import CountType
+
+    g = GraphStorage(str(gfa), index_edges=True)
+    mask = GraphMask.from_datamgr(
+        GraphMaskParameters(groupby_sample=True, negative_list=str(bed)), g
+    )
+    itemized = itemize_paths(g, mask, [CountType.NODE])
+    path_order, groups = path_order_groups(mask, g.path_segments)
+    assert groups == ["a"], groups  # group b dropped with its only path
+    ab = AbacusByTotal.from_itemization(
+        CountType.NODE, 0, itemized, path_order, groups, g
+    )
+    # nodes 2 and 3 are excluded (covered by the excluded W path's rows);
+    # only node 1 counts, under group a
+    assert ab.construct_hist().tolist() == [2, 1]
