@@ -10,4 +10,47 @@ reports are derived as dense array programs.
 
 __version__ = "0.1.0"
 
-from .utils import CountType, Threshold, ThresholdContainer  # noqa: F401
+_git_hash_cache: list = []
+
+
+def git_hash():
+    """Short git hash of the source tree, or None.
+
+    The reference embeds GIT_HASH at compile time (build.rs:1-10) and uses
+    it in TSV `# version` comments (src/io.rs:551) and the report footer
+    (src/html_report.rs:306-308). Python has no compile step, so we resolve
+    it lazily: a `_build_info.py` written at package-build time wins (for
+    installed wheels), else `git rev-parse --short HEAD` on the source
+    checkout. Cached after the first call.
+    """
+    if _git_hash_cache:
+        return _git_hash_cache[0]
+    h = None
+    try:
+        from ._build_info import GIT_HASH as h  # type: ignore
+    except Exception:
+        import os
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                timeout=5,
+            )
+            if out.returncode == 0:
+                h = out.stdout.decode().strip() or None
+        except Exception:
+            h = None
+    _git_hash_cache.append(h)
+    return h
+
+
+def version_string():
+    """`0.1.0-<shorthash>` when the hash is known, else `0.1.0`."""
+    h = git_hash()
+    return f"{__version__}-{h}" if h else __version__
+
+
+from .utils import CountType, Threshold, ThresholdContainer  # noqa: F401,E402

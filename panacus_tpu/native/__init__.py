@@ -484,7 +484,13 @@ def tokenize_batch(
 
     Returns (ids int64[N], orient uint8[N], prefsum int64[n+1],
     bp uint64[n] or None) or None when the native lib is unavailable or any
-    span is malformed / contains an unknown name (caller falls back)."""
+    span is malformed / contains an unknown name (caller falls back).
+
+    CONTRACT: on a None return with `pack_gbit` set, the contents of
+    `pack_node_row` / `pack_edge_row` are UNDEFINED — worker threads may
+    have already ORed earlier spans into them before the error was hit.
+    Callers must discard (or re-zero) the pack targets and rebuild via the
+    fallback path; they must not merge partially-packed rows."""
     lib = get_lib()
     if lib is None:
         return None

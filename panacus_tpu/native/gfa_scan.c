@@ -1596,7 +1596,7 @@ static void pack_items_row(
     const int64_t* ids, int64_t a, int64_t b, uint32_t bit, uint32_t* row)
 {
     int64_t k = a;
-    for (; k + 16 <= b; k++) {
+    for (; k + 16 < b; k++) {
         __builtin_prefetch(&row[ids[k + 16]], 1, 1);
         row[ids[k]] |= bit;
     }

@@ -339,7 +339,7 @@ def _render_item(item: Dict) -> str:
 
 
 def generate_report(sections: List[AnalysisSection], fname: str) -> str:
-    from .. import __version__
+    from .. import version_string
 
     nav: List[str] = []
     body: List[str] = []
@@ -379,6 +379,6 @@ def generate_report(sections: List[AnalysisSection], fname: str) -> str:
 <nav><h1>panacus-tpu</h1>{''.join(nav)}</nav>
 <main>{''.join(body)}</main>
 </div>
-<footer>generated by panacus-tpu v{__version__} · {now} · {_esc(fname)}</footer>
+<footer>generated by panacus-tpu v{version_string()} · {now} · {_esc(fname)}</footer>
 <script>{JS}</script>
 </body></html>"""
