@@ -230,6 +230,7 @@ typedef struct {
     uint32_t* fp_edge_rows[8];
     const int64_t* fp_row_off;   /* CSR adjacency for the edge pack */
     const uint64_t* fp_adj_ent;
+    int serial;         /* single-pass mode: fill prefsum on the fly */
     int64_t err;        /* 0 ok, else -(span_idx+1) of first failure */
     int64_t next;       /* work-stealing cursor (guarded by lock) */
     int phase;
@@ -381,7 +382,8 @@ static int parse_span_names(batch_ctx* c, int64_t k)
             if (i < b) i++; /* skip ',' */
         }
     }
-    if (cnt != c->prefsum[k + 1] - c->prefsum[k]) return -1;
+    if (c->serial) c->prefsum[k + 1] = c->prefsum[k] + cnt;
+    else if (cnt != c->prefsum[k + 1] - c->prefsum[k]) return -1;
     if (c->bp_out) c->bp_out[k] = bp;
     return 0;
 }
@@ -429,7 +431,8 @@ static int parse_span(batch_ctx* c, int64_t k, int tid)
     } else {
         cnt = 0;
     }
-    if (cnt != c->prefsum[k + 1] - c->prefsum[k]) return -1;
+    if (c->serial) c->prefsum[k + 1] = c->prefsum[k] + cnt;
+    else if (cnt != c->prefsum[k + 1] - c->prefsum[k]) return -1;
     uint64_t bp = 0;
     if (c->mode == 1) {
         for (int64_t i = 0; i < cnt; i++) {
@@ -526,7 +529,7 @@ EXPORT int64_t pt_count_tokens(
         NULL, NULL, 0, 0, NULL, NULL, 0, NULL, NULL,
         NULL, 0, NULL, NULL,
         NULL, {NULL}, {NULL}, NULL, NULL,
-        0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+        0, 0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     run_phase(&c, 0, n_threads);
     int64_t tot = 0;
@@ -560,13 +563,49 @@ EXPORT int64_t pt_tokenize_batch(
         sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
         name_slots, name_log2, name_starts, name_ends,
         NULL, {NULL}, {NULL}, NULL, NULL,
-        0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+        0, 0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     int64_t tot = prefsum[n_spans];
     if (tot > cap_ids) return -1000000000 - tot;
     run_phase(&c, 1, n_threads);
     if (c.err) return c.err;
     return tot;
+}
+
+/* Serial single-pass tokenize: parses spans in order, filling prefsum on
+ * the fly — no counting pre-pass, so the payload is read once instead of
+ * twice. Built for the gz follower, whose during-inflate budget is one
+ * core. The caller supplies a worst-case capacity; each span is bounds-
+ * checked ((len/2)+2 tokens max) before parsing, and the call bails with
+ * the fallback sentinel when the next span would not fit (caller reverts
+ * to the two-phase path). Returns total tokens or -(span+1) on error. */
+EXPORT int64_t pt_tokenize_serial(
+    const uint8_t* buf,
+    const int64_t* starts, const int64_t* ends, const uint8_t* walk,
+    int64_t n_spans,
+    int64_t* prefsum,
+    int64_t* out_ids, uint8_t* out_orient, int64_t cap_ids,
+    int32_t mode, int64_t n_items,
+    const int64_t* sorted_vals, const int64_t* sorted_ids, int64_t n_sorted,
+    const uint32_t* node_lens, uint64_t* bp_out,
+    const int64_t* name_slots, int32_t name_log2,
+    const int64_t* name_starts, const int64_t* name_ends)
+{
+    batch_ctx c = {
+        buf, starts, ends, walk, n_spans, prefsum, NULL,
+        out_ids, out_orient, mode, n_items,
+        sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
+        name_slots, name_log2, name_starts, name_ends,
+        NULL, {NULL}, {NULL}, NULL, NULL,
+        1, 0, 0, 1, PTHREAD_MUTEX_INITIALIZER,
+    };
+    prefsum[0] = 0;
+    for (int64_t k = 0; k < n_spans; k++) {
+        int64_t need = (ends[k] - starts[k]) / 2 + 2;
+        if (prefsum[k] + need > cap_ids) return -1000000000 - k;
+        if (parse_span(&c, k, 0) != 0) return -(k + 1);
+    }
+    return prefsum[n_spans];
 }
 
 /* Fused tokenize + membership pack: phase B additionally ORs each span's
@@ -602,7 +641,7 @@ EXPORT int64_t pt_tokenize_pack(
         sorted_vals, sorted_ids, n_sorted, node_lens, bp_out,
         name_slots, name_log2, name_starts, name_ends,
         gbit, {node_row}, {edge_row}, row_off, adj_ent,
-        0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
+        0, 0, 0, 0, PTHREAD_MUTEX_INITIALIZER,
     };
     int64_t tot = prefsum[n_spans];
     if (tot > cap_ids) return -1000000000 - tot;
@@ -955,6 +994,8 @@ typedef struct {
     int64_t n;
     int64_t* name_end;
     int64_t* seq_len;
+    int64_t* ints;          /* optional: parsed integer names */
+    volatile int ints_bad;  /* any non-integer / too-long name seen */
     int64_t next;
     int64_t rc; /* 0 ok, -(i+1) = malformed line i */
     pthread_mutex_t lock;
@@ -989,22 +1030,56 @@ static void* sspan_worker(void* arg)
             int64_t t3 = q ? q - c->buf : e;
             c->name_end[i] = t2;
             c->seq_len[i] = t3 - t2 - 1;
+            if (c->ints && !c->ints_bad) {
+                /* decimal name parse fused into the span walk (the name
+                 * bytes are already in cache); a single non-integer name
+                 * turns the whole pass off (benign racy flag: spans stay
+                 * valid, caller just discards ints) */
+                int64_t len = t2 - s;
+                if (len < 1 || len > 18) { c->ints_bad = 1; continue; }
+                int64_t v = 0;
+                for (int64_t k = s; k < t2; k++) {
+                    uint8_t d = c->buf[k] - '0';
+                    if (d > 9) { c->ints_bad = 1; v = 0; break; }
+                    v = v * 10 + d;
+                }
+                c->ints[i] = v;
+            }
         }
     }
 }
+
+EXPORT int64_t pt_s_spans_ints(
+    const uint8_t* buf, const int64_t* starts, const int64_t* ends,
+    int64_t n, int64_t* name_end, int64_t* seq_len,
+    int64_t* ints, int32_t* ints_ok, int32_t n_threads);
 
 EXPORT int64_t pt_s_spans(
     const uint8_t* buf, const int64_t* starts, const int64_t* ends,
     int64_t n, int64_t* name_end, int64_t* seq_len, int32_t n_threads)
 {
+    return pt_s_spans_ints(
+        buf, starts, ends, n, name_end, seq_len, NULL, NULL, n_threads);
+}
+
+/* pt_s_spans with the integer-name parse fused in: ints[i] receives the
+ * decimal value of S-line i's name; *ints_ok is set to 0 when any name is
+ * not a plain 1-18 digit integer (ints contents are then unspecified,
+ * name_end/seq_len remain valid). */
+EXPORT int64_t pt_s_spans_ints(
+    const uint8_t* buf, const int64_t* starts, const int64_t* ends,
+    int64_t n, int64_t* name_end, int64_t* seq_len,
+    int64_t* ints, int32_t* ints_ok, int32_t n_threads)
+{
     sspan_ctx c = {
-        buf, starts, ends, n, name_end, seq_len, 0, 0,
+        buf, starts, ends, n, name_end, seq_len, ints, 0, 0, 0,
         PTHREAD_MUTEX_INITIALIZER,
     };
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
     if (n_threads == 1 || n < 2 * 8192) {
         sspan_worker(&c);
+        if (ints_ok) *ints_ok = c.ints_bad ? 0 : 1;
         return c.rc;
     }
     pthread_t tids[64];
@@ -1015,6 +1090,7 @@ EXPORT int64_t pt_s_spans(
     }
     sspan_worker(&c);
     for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    if (ints_ok) *ints_ok = c.ints_bad ? 0 : 1;
     return c.rc;
 }
 
