@@ -16,7 +16,12 @@ class Table(Analysis):
     def get_graph_requirements(self) -> Set:
         from ..broker import Req
 
-        req = {Req.abacus_by_group(self.parameter.count_type)}
+        req = {
+            Req.abacus_by_group(self.parameter.count_type),
+            # table export reads per-path multiplicities (sparse_counts);
+            # multi-host must retain/merge item runs for it
+            Req.group_table(self.parameter.count_type),
+        }
         req |= self.count_to_input_req(self.parameter.count_type)
         return req
 

@@ -48,6 +48,14 @@ class Req:
         return ("abacus_by_group", count)
 
     @staticmethod
+    def group_table(count: CountType) -> Tuple[str, CountType]:
+        """Per-item multiplicity export (AbacusByGroup.sparse_counts): the
+        only group-abacus consumer that reads per-path item runs — ordered
+        growth and similarity run off the membership matrix. Multi-host
+        uses this to keep the path-sliced build for everything else."""
+        return ("group_table", count)
+
+    @staticmethod
     def graph(path: str) -> Tuple[str, str]:
         return ("graph", path)
 
@@ -220,7 +228,7 @@ class GraphBroker:
                 from .parallel.ingest import multihost_total_abaci
 
                 need_itemized = any(
-                    isinstance(r, tuple) and r[0] == "abacus_by_group"
+                    isinstance(r, tuple) and r[0] == "group_table"
                     for r in self.input_requirements
                 )
                 streamed = multihost_total_abaci(

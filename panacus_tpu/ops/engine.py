@@ -40,6 +40,21 @@ log = logging.getLogger("panacus")
 LANE = 128
 SUBLANE = 8
 ORDERED_BLOCK = 1 << 14  # items per block in the scan kernels
+
+
+def ordered_block_for(n_groups: int) -> int:
+    """Item-block width for the ordered-growth scan, shrunk as the group
+    count grows: the body materializes several [n_groups, B] int32
+    temporaries (unpack, cumsum, cummax), and past ~1k groups a fixed
+    B=2^14 block spills them to HBM — measured (slope-timed, v5e, 1M
+    items): 734 ms/pass at 4096 groups vs 46.6 ms with G*B capped
+    (15.8x); 77.3 -> 25.7 ms at 1024. Cap G*B at 2^21 elements
+    (~8 MB/temp), floor at 512 lanes, and keep B a power of two so it
+    divides ITEM_ALIGN-padded item counts."""
+    b = ORDERED_BLOCK
+    while b > 512 and n_groups * b > (1 << 21):
+        b >>= 1
+    return b
 # pad item axis to a tile AND block boundary so blocked scans reshape evenly
 ITEM_ALIGN = ORDERED_BLOCK
 CHUNK = 1 << 20  # scatter chunk size (pairs per jit call)
@@ -226,21 +241,16 @@ def _ordered_growth_block_body(M_block, weights_block, thr_table, c_min: int):
     n_groups = thr_table.shape[0] - 1
     P = unpack_block(M_block, n_groups)  # [G, B]
     cum = jnp.cumsum(P, axis=0, dtype=jnp.int32)
-    gidx = jnp.arange(n_groups, dtype=jnp.int32).reshape(-1, 1)
-    lp = jax.lax.cummax(jnp.where(P > 0, gidx, -1), axis=0)
-    lp1 = lp + 1
-    if n_groups <= 512:
-        # TPU lowers the [G, B]-shaped table gather through the scalar
-        # unit — it was 600 of the 684 ms ordered-growth wall on the
-        # 900k x 90 bench shape. An unrolled select chain over the small
-        # table is exact and vector-unit work: 684 -> 68 ms measured.
-        # Static-index thr_table[g] is a slice, not a gather.
-        thr = jnp.zeros_like(cum)
-        for g in range(n_groups + 1):
-            thr = jnp.where(lp1 == g, thr_table[g], thr)
-    else:  # unroll would bloat the trace; gather stays acceptable vs
-        # the O(G^2 B / 32) unpack+scan work at this size
-        thr = thr_table[lp1]
+    # thr_table[g+1] = ceil((g+1)*quorum) is NON-DECREASING in g, so the
+    # threshold at the last present group <= j equals a running max of the
+    # present positions' own thresholds: ONE cummax replaces both the
+    # per-item table gather (TPU lowers [G,B] gathers through the scalar
+    # unit — 600 of 684 ms on the 900k x 90 bench shape, round 3) and the
+    # round-4 unrolled select chain (O(G) wheres; prohibitive past ~512
+    # groups). The lp == -1 "no present group yet" sentinel is redundant:
+    # cum == 0 there and the cum >= 1 term already excludes it.
+    tvals = thr_table[1 : n_groups + 1].reshape(-1, 1)
+    thr = jax.lax.cummax(jnp.where(P > 0, tvals, -1), axis=0)
     total = cum[-1]
     ok = (cum >= thr) & (cum >= 1) & (total >= c_min).reshape(1, -1)
     return jnp.sum(
@@ -269,12 +279,14 @@ def ordered_growth(
         from jax.sharding import PartitionSpec as P
 
         per = n_items_pad // mesh.devices.size
-        fn = _sharded_ordered_fn(mesh, c_min, max(per // ORDERED_BLOCK, 1))
+        fn = _sharded_ordered_fn(
+            mesh, c_min, max(per // ordered_block_for(n_groups), 1)
+        )
         partials = fn(
             M, _put_spec(mesh, w, P("items")), _put_spec(mesh, thr, P())
         )
         return fetch_parts(partials).astype(np.int64).sum(axis=0)
-    n_blocks = max(n_items_pad // ORDERED_BLOCK, 1)
+    n_blocks = max(n_items_pad // ordered_block_for(n_groups), 1)
     partials = _ordered_growth_all(
         M, _put_like(w, M), _put_like(thr, M), c_min, n_blocks
     )

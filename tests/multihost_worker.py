@@ -68,9 +68,10 @@ def main():
                 int(x) for x in hists[CountType.EDGE].coverage
             ]
     elif mode == "group":
-        # AbacusByGroup requirement forces the redundant-itemization
-        # fallback (need_itemized) — M must still shard globally and
-        # ordered growth / similarity must run through the SPMD programs
+        # ordered growth + similarity read only the membership matrix, so
+        # the abacus_by_group requirement no longer forces the redundant
+        # fallback: the path-sliced build runs and the group programs
+        # consume the globally assembled M
         reqs = {
             Req.graph(gfa),
             Req.NODE,
@@ -89,6 +90,7 @@ def main():
         res.update(
             m_sharded=mesh is not None
             and mesh.devices.size == len(jax.devices()),
+            path_sliced=gb._itemized.item_tables[0] is None,
             node_hist=[
                 int(x) for x in gb.get_hists()[CountType.NODE].coverage
             ],

@@ -178,11 +178,12 @@ def test_two_process_broker_matches_oracle(tmp_path):
     assert total_bp == sum(int(lens[v].sum()) for v in visits_all)
 
 
-def test_two_process_group_abacus_fallback(tmp_path):
-    """AbacusByGroup requirements force the redundant-itemization
-    fallback in multi-host mode: both processes itemize the full graph,
-    M still shards globally, and ordered growth + similarity run through
-    the SPMD programs with identical, oracle-matching results."""
+def test_two_process_group_abacus_path_sliced(tmp_path):
+    """Ordered growth + similarity consume only the membership matrix,
+    so an AbacusByGroup requirement keeps the path-sliced build (round 5;
+    only the multiplicity table export needs item runs): M shards
+    globally and the SPMD group programs produce identical,
+    oracle-matching results on both processes."""
     gfa = str(tmp_path / "mh_grp.gfa")
     visits_all, lens, _ = _write_fixture(gfa)
     port = _free_port()
@@ -196,6 +197,7 @@ def test_two_process_group_abacus_fallback(tmp_path):
     r0 = json.load(open(out0))
     r1 = json.load(open(out1))
     assert r0["m_sharded"] and r0 == {**r1, "process": 0}
+    assert r0["path_sliced"], "group abacus must not force the fallback"
     node_hist, _ = _oracle_hists(visits_all, lens)
     assert r0["node_hist"] == node_hist.tolist()
     # ordered growth at (c=1, q=0) is the cumulative union over groups in
