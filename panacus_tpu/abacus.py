@@ -399,6 +399,36 @@ class AbacusByGroup:
                 continue
             per_group.append((gi, nz, cnt[nz].astype(np.int64)))
             row_counts[nz + 1] += 1
+        if getattr(self._itemized, "mh_table_local", False):
+            import jax
+
+            if jax.process_count() > 1:
+                # path-sliced multi-host: this process's item tables only
+                # cover its group range — allgather the (item, group,
+                # multiplicity) triplets (group ranges are disjoint, so
+                # concatenation has no duplicates) and restore the
+                # items-major, groups-in-path-order layout with one sort
+                from .parallel.ingest import allgather_rows
+
+                tri = np.zeros((0, 3), dtype=np.int64)
+                if per_group:
+                    tri = np.concatenate(
+                        [
+                            np.column_stack(
+                                [nz, np.full(len(nz), gi), c]
+                            )
+                            for gi, nz, c in per_group
+                        ]
+                    )
+                allt = np.concatenate(allgather_rows(tri))
+                order = np.lexsort((allt[:, 1], allt[:, 0]))
+                allt = allt[order]
+                self._sparse_cache = (
+                    allt[:, 0].copy(),
+                    allt[:, 1].copy(),
+                    allt[:, 2].copy(),
+                )
+                return self._sparse_cache
         if not per_group:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()

@@ -59,18 +59,38 @@ def itemize_paths(
     graph: GraphStorage,
     mask: GraphMask,
     count_types: List[CountType],
+    path_filter: Optional[np.ndarray] = None,
+    track_cov_order: bool = False,
 ) -> ItemizeResult:
     """Single host pass over all P/W lines producing item tables for every
     requested count type (reference: parse_gfa_paths_walks_multiple,
     src/graph_broker/util.rs:22-206).
 
     Node and Bp share one item table (cloned at the end); Edge gets its own.
+
+    `path_filter` (bool[n_paths]): process only the flagged paths — the
+    multi-host path-sliced masked build (parallel.ingest) runs the exact
+    interval walker on each host's group range and merges the mask side
+    products afterwards. Filtered-out paths contribute nothing (empty CSR
+    rows, no paths_len entry, no exclude/coverage marks).
+
+    `track_cov_order`: record (position, sid, a, b) for every covered-bp
+    interval add and the position of each node's LAST full-coverage visit
+    (position = path_id << 40 | visit index). The covered container's
+    remove-on-full-coverage is order-dependent across paths (reference
+    util.rs:444-463), so the multi-host merge recomputes the final state
+    from these globally ordered events instead of unioning local maps.
     """
     n_paths = len(graph.path_segments)
     item_tables = [ItemTable(n_paths) for _ in count_types]
     subset_covered_bps, exclude_tables, include_map, exclude_map = (
         mask.load_optional_subsetting(graph, count_types)
     )
+    if track_cov_order and subset_covered_bps is not None:
+        subset_covered_bps._mh_track = (
+            np.full(len(graph.node_lens), -1, dtype=np.int64),
+            [],
+        )
     paths_len: Dict[PathSegment, Tuple[int, int]] = {}
 
     # map each count type to its computation slot: Node computes via Bp slot
@@ -97,6 +117,8 @@ def itemize_paths(
         # tokenize exactly the paths that will be processed
         sel = []
         for i, seg in enumerate(graph.path_segments):
+            if path_filter is not None and not path_filter[i]:
+                continue
             inc = include_map.get(seg.id(), [])
             exc = exclude_map.get(seg.id(), []) if has_exclude else []
             c = seg.coords()
@@ -110,12 +132,26 @@ def itemize_paths(
                 batch_slot[sel] = np.arange(len(sel))
             else:
                 _prefetch_runs(graph, sel, runs, n_workers)
+    elif path_filter is not None:
+        sel = np.flatnonzero(path_filter)
+        if len(sel):
+            batch = graph.all_path_item_runs(sel)
+            if batch is not None:
+                batch_slot = np.full(n_paths, -1, dtype=np.int64)
+                batch_slot[sel] = np.arange(len(sel))
+            else:
+                _prefetch_runs(graph, sel, runs, n_workers)
     else:
         batch = graph.all_path_item_runs()
         if batch is None:
             _prefetch_runs(graph, range(n_paths), runs, n_workers)
 
-    if batch is not None and not has_include and not has_exclude:
+    if (
+        batch is not None
+        and not has_include
+        and not has_exclude
+        and path_filter is None
+    ):
         # zero-copy shortcut: no masks at all -> the batch CSR IS the item
         # table; edges pair up vectorized across every path at once
         b_ids, b_orient, b_pref, b_bp = batch
@@ -196,6 +232,10 @@ def itemize_paths(
             return graph.path_item_run(i)
 
     for num_path, path_seg in enumerate(graph.path_segments):
+        if path_filter is not None and not path_filter[num_path]:
+            for t in item_tables:
+                t.close_path(num_path)
+            continue
         include_coords = (
             COMPLETE
             if not has_include
@@ -304,6 +344,12 @@ def _update_tables(
     exclude tables (annotated for bp). The hot walk runs in C when
     available (native.pt_interval_walk) with a compressed event stream;
     this Python loop is the exact fallback."""
+    track = (
+        getattr(subset_covered_bps, "_mh_track", None)
+        if subset_covered_bps is not None
+        else None
+    )
+    pos_base = num_path << 40
     if len(ids):
         from .native import interval_walk
 
@@ -323,6 +369,8 @@ def _update_tables(
             exclude_coords,
             offset,
             cov_present,
+            pos_base=pos_base,
+            last_full=track[0] if track is not None else None,
         )
         if res is None and cov_present is not None:
             # the C walker mutates the bitmap in place as it goes; if it
@@ -336,11 +384,13 @@ def _update_tables(
             pushed_arr, cov_ev, exc_ev, included_bp = res
             item_table.append(num_path, pushed_arr)
             if subset_covered_bps is not None:
-                for sid, a, b, kind in cov_ev.tolist():
+                for sid, a, b, kind, pos in cov_ev.tolist():
                     if kind:
                         subset_covered_bps.remove(sid)
                     else:
                         subset_covered_bps.add(sid, a, b)
+                        if track is not None:
+                            track[1].append((pos, sid, a, b))
             node_lens_l = graph.node_lens
             for sid, a, b in exc_ev.tolist():
                 l = int(node_lens_l[sid])
@@ -366,7 +416,7 @@ def _update_tables(
     n_inc = len(include_coords)
     n_exc = len(exclude_coords)
 
-    for sid, o in zip(ids.tolist(), orient.tolist()):
+    for k_i, (sid, o) in enumerate(zip(ids.tolist(), orient.tolist())):
         l = int(node_lens[sid])
 
         stop_here = False
@@ -384,10 +434,14 @@ def _update_tables(
                 pushed.append(sid)
                 if subset_covered_bps is not None:
                     if b - a == l:
+                        if track is not None:
+                            track[0][sid] = pos_base + k_i
                         if subset_covered_bps.contains(sid):
                             subset_covered_bps.remove(sid)
                     else:
                         subset_covered_bps.add(sid, a, b)
+                        if track is not None:
+                            track[1].append((pos_base + k_i, sid, a, b))
                 included += 1
                 included_bp += b - a
             else:

@@ -114,6 +114,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         i64p, i64, i64p,  # cov_ev, cap, n_out
         i64p, i64, i64p,  # exc_ev, cap, n_out
         i64p,             # included_bp
+        i64, i64p,        # pos_base, last_full (nullable)
     ]
     lib.pt_scan_count.restype = None
     lib.pt_scan_count.argtypes = [u8p, i64, i64, i64p, ctypes.c_int32]
@@ -767,11 +768,15 @@ def interval_walk(
     exclude_coords,
     offset: int,
     cov_present: Optional[np.ndarray],
+    pos_base: int = 0,
+    last_full: Optional[np.ndarray] = None,
 ):
     """C port of the masked per-path interval walk. Returns
-    (pushed int64[], cov_events int64[n,4], exc_events int64[m,3],
-    included_bp) or None when the native lib is unavailable (caller runs
-    the Python walker)."""
+    (pushed int64[], cov_events int64[n,5] (sid, a, b, kind, pos),
+    exc_events int64[m,3], included_bp) or None when the native lib is
+    unavailable (caller runs the Python walker). pos_base/last_full: see
+    pt_interval_walk — global visit positions for the multi-host covered
+    merge."""
     lib = get_lib()
     if lib is None:
         return None
@@ -786,7 +791,7 @@ def interval_walk(
     or_c = np.ascontiguousarray(orient, dtype=np.uint8)
     nl_c = np.ascontiguousarray(node_lens, dtype=np.uint32)
     pushed = np.empty(cap_p, dtype=np.int64)
-    cov_ev = np.empty(4 * cap_p, dtype=np.int64)
+    cov_ev = np.empty(5 * cap_p, dtype=np.int64)
     exc_ev = np.empty(3 * cap_e, dtype=np.int64)
     n_cov = ctypes.c_int64(0)
     n_exc = ctypes.c_int64(0)
@@ -813,12 +818,16 @@ def interval_walk(
         ctypes.c_int64(cap_e),
         ctypes.byref(n_exc),
         ctypes.byref(bp),
+        ctypes.c_int64(pos_base),
+        last_full.ctypes.data_as(i64p)
+        if last_full is not None
+        else ctypes.cast(None, i64p),
     )
     if rc < 0:
         return None
     return (
         pushed[:rc],
-        cov_ev[: 4 * n_cov.value].reshape(-1, 4),
+        cov_ev[: 5 * n_cov.value].reshape(-1, 5),
         exc_ev[: 3 * n_exc.value].reshape(-1, 3),
         int(bp.value),
     )

@@ -701,9 +701,16 @@ EXPORT int64_t pt_tokenize_pack(
  * emission unless a removal actually happens, so the Python replay loop
  * only sees boundary nodes.
  *
- * cov events: (sid, a, b, kind) with kind 0 = add(a, b), 1 = remove.
+ * cov events: (sid, a, b, kind, pos) with kind 0 = add(a, b), 1 =
+ * remove; pos = pos_base + visit index (the multi-host merge orders
+ * events globally with it — see parallel.ingest).
  * exc events: (sid, a, b) — the caller applies them to each exclude
  * table (plain activate or annotated activate), in order.
+ * last_full (nullable, int64[n_nodes]): receives the position of the
+ * LAST full-coverage visit of each node, set UNCONDITIONALLY (presence
+ * only compresses the kind-1 event stream; the cross-host merge needs
+ * every full cover because any of them empties the node's covered
+ * state).
  * Returns the push count, or -1 if an output capacity would overflow
  * (caller falls back to the Python walker).
  */
@@ -717,7 +724,8 @@ EXPORT int64_t pt_interval_walk(
     int64_t* pushed, int64_t cap_pushed,
     int64_t* cov_ev, int64_t cap_cov, int64_t* n_cov_out,
     int64_t* exc_ev, int64_t cap_exc, int64_t* n_exc_out,
-    int64_t* included_bp_out)
+    int64_t* included_bp_out,
+    int64_t pos_base, int64_t* last_full)
 {
     int64_t i = 0, j = 0;
     int64_t p = offset;
@@ -750,22 +758,25 @@ EXPORT int64_t pt_interval_walk(
                 pushed[n_pushed++] = sid;
                 if (cov_present) {
                     if (b - a == l) {
+                        if (last_full) last_full[sid] = pos_base + k;
                         if (cov_present[sid]) {
                             cov_present[sid] = 0;
                             if (n_cov >= cap_cov) return -1;
-                            cov_ev[4 * n_cov] = sid;
-                            cov_ev[4 * n_cov + 1] = 0;
-                            cov_ev[4 * n_cov + 2] = 0;
-                            cov_ev[4 * n_cov + 3] = 1;
+                            cov_ev[5 * n_cov] = sid;
+                            cov_ev[5 * n_cov + 1] = 0;
+                            cov_ev[5 * n_cov + 2] = 0;
+                            cov_ev[5 * n_cov + 3] = 1;
+                            cov_ev[5 * n_cov + 4] = pos_base + k;
                             n_cov++;
                         }
                     } else {
                         cov_present[sid] = 1;
                         if (n_cov >= cap_cov) return -1;
-                        cov_ev[4 * n_cov] = sid;
-                        cov_ev[4 * n_cov + 1] = a;
-                        cov_ev[4 * n_cov + 2] = b;
-                        cov_ev[4 * n_cov + 3] = 0;
+                        cov_ev[5 * n_cov] = sid;
+                        cov_ev[5 * n_cov + 1] = a;
+                        cov_ev[5 * n_cov + 2] = b;
+                        cov_ev[5 * n_cov + 3] = 0;
+                        cov_ev[5 * n_cov + 4] = pos_base + k;
                         n_cov++;
                     }
                 }

@@ -239,6 +239,297 @@ def assemble_global_matrix(
     )(G)
 
 
+def allgather_rows(arr: np.ndarray) -> List[np.ndarray]:
+    """Allgather a per-process variable-length 2-D int64 array: gather the
+    row counts first, pad to the max, gather, trim. Every process receives
+    every process's rows (deterministic order by process id).
+
+    int64 payloads travel as int32 PAIRS: process_allgather round-trips
+    through jax arrays, and without jax_enable_x64 an int64 input is
+    silently truncated to int32 — which scrambled the (path_id << 40)
+    visit positions of the covered-bp merge until this view trick."""
+    from jax.experimental import multihost_utils
+
+    arr = np.ascontiguousarray(arr, dtype=np.int64).reshape(
+        -1, arr.shape[1] if arr.ndim == 2 else 1
+    )
+    n_cols = arr.shape[1]
+    ns = np.asarray(
+        multihost_utils.process_allgather(
+            np.array([arr.shape[0]], dtype=np.int32)
+        )
+    ).reshape(-1)
+    m = int(ns.max()) if len(ns) else 0
+    if m == 0:
+        return [arr[:0] for _ in ns]
+    pad = np.zeros((m, 2 * n_cols), dtype=np.int32)
+    pad[: arr.shape[0]] = arr.view(np.int32).reshape(-1, 2 * n_cols)
+    g = np.ascontiguousarray(
+        np.asarray(multihost_utils.process_allgather(pad))
+    ).reshape(len(ns), m, 2 * n_cols)
+    return [
+        np.ascontiguousarray(g[i, : ns[i]])
+        .view(np.int64)
+        .reshape(-1, n_cols)
+        for i in range(len(ns))
+    ]
+
+
+def _serialize_intervals(cont) -> np.ndarray:
+    return np.asarray(
+        [(sid, a, b) for sid, ivs in cont.map.items() for a, b in ivs],
+        dtype=np.int64,
+    ).reshape(-1, 3)
+
+
+def merge_covered_container(cont) -> None:
+    """Exact cross-process merge of the subset covered-bp container.
+
+    The container's remove-on-full-coverage (reference util.rs:444-463:
+    a visit that covers a node completely FORGETS its earlier partial
+    intervals, but later partials accumulate again) makes the final state
+    order-dependent across paths, so a plain union of per-process maps is
+    wrong. itemize records (position, sid, a, b) for every interval add
+    and each node's last full-coverage position (position = path_id << 40
+    | visit index — the same global order a single process walks). The
+    merged state is then, per node: the union of adds whose position is
+    AFTER the global last full cover — exactly the single-process
+    semantics, because any full-coverage visit empties the node's state
+    at its position regardless of what was present."""
+    last_full, add_log = cont._mh_track
+    adds = np.asarray(add_log, dtype=np.int64).reshape(-1, 4)
+    all_adds = np.concatenate(allgather_rows(adds))
+    interesting = (
+        np.unique(all_adds[:, 1])
+        if len(all_adds)
+        else np.zeros(0, dtype=np.int64)
+    )
+    lf_local = np.column_stack([interesting, last_full[interesting]]) if len(
+        interesting
+    ) else np.zeros((0, 2), dtype=np.int64)
+    lf_all = np.concatenate(allgather_rows(lf_local))
+    gmax = {}
+    for sid, posv in lf_all:
+        if posv > gmax.get(int(sid), -1):
+            gmax[int(sid)] = int(posv)
+    cont.map.clear()
+    if hasattr(cont, "_present"):  # itemize's cached presence bitmap
+        del cont._present
+    for pos, sid, a, b in all_adds:
+        if int(pos) > gmax.get(int(sid), -1):
+            cont.add(int(sid), int(a), int(b))
+
+
+def merge_exclude_tables(exclude_tables, graph) -> None:
+    """Allgather-OR ActiveTable states in place: boolean activation plus
+    the bp exclude-interval annotations, replaying the full-coverage
+    promotion of ActiveTable.activate_n_annotate so the merged state is
+    exactly what one process walking every path would hold."""
+    from jax.experimental import multihost_utils
+
+    tabs = []
+    seen = set()
+    for t in exclude_tables:
+        if t is not None and id(t) not in seen:
+            seen.add(id(t))
+            tabs.append(t)
+    if not tabs:
+        return
+    packed = np.concatenate([np.packbits(t.items) for t in tabs])
+    g = np.asarray(
+        multihost_utils.process_allgather(packed)
+    ).reshape(-1, len(packed))
+    merged = np.bitwise_or.reduce(g, axis=0)
+    off = 0
+    for t in tabs:
+        nb = (len(t.items) + 7) // 8
+        t.items[:] = np.unpackbits(merged[off : off + nb])[
+            : len(t.items)
+        ].astype(bool)
+        off += nb
+    for t in tabs:
+        ann = t.annotation
+        if ann is None:
+            continue
+        parts = allgather_rows(_serialize_intervals(ann))
+        ann.map.clear()
+        for part in parts:
+            for sid, a, b in part:
+                ann.add(int(sid), int(a), int(b))
+        for sid in list(ann.keys()):
+            sid = int(sid)
+            if t.items[sid]:  # promoted by another process
+                ann.remove(sid)
+                continue
+            got = ann.get(sid)
+            if got and got[0] == (0, graph.node_len(sid)):
+                ann.remove(sid)
+                t.items[sid] = True
+
+
+def _merge_paths_len(graph, paths_len) -> dict:
+    """Allgather-merge per-path (node_len, bp_len) dicts (each path is
+    walked by exactly one process)."""
+    from jax.experimental import multihost_utils
+
+    n_paths = len(graph.path_segments)
+    node_len = np.zeros(n_paths, dtype=np.int64)
+    bp_len = np.zeros(n_paths, dtype=np.int64)
+    have = np.zeros(n_paths, dtype=np.int64)
+    for p, seg in enumerate(graph.path_segments):
+        v = paths_len.get(seg)
+        if v is not None:
+            node_len[p], bp_len[p] = v
+            have[p] = 1
+    parts = allgather_rows(np.stack([node_len, bp_len, have], axis=1))
+    tot = np.zeros((n_paths, 3), dtype=np.int64)
+    for part in parts:
+        tot += part
+    node_len, bp_len, have = tot[:, 0], tot[:, 1], tot[:, 2]
+    return {
+        graph.path_segments[p]: (int(node_len[p]), int(bp_len[p]))
+        for p in range(n_paths)
+        if have[p]
+    }
+
+
+def multihost_masked_abaci(graph, mask, count_types):
+    """Path-sliced multi-host build for masked runs (subset BEDs,
+    coordinate excludes) and group-table exports: each process runs the
+    EXACT interval-walking itemizer (itemize.itemize_paths) over only its
+    payload-balanced group range's paths, then the mask side products
+    merge across processes:
+
+      - exclude tables: boolean OR + interval-annotation union with the
+        full-coverage promotion replayed (merge_exclude_tables),
+      - subset covered-bp intervals: order-independent union
+        (merge_interval_container), so the uncovered-bp correction
+        (abacus.quantify_uncovered_bps) is computed identically on every
+        process,
+      - paths_len: per-path allgather (each path is walked exactly once),
+      - membership rows: packed per word block and assembled exactly like
+        the unmasked path (bit-disjoint; each count type's merged
+        excluded columns are zeroed on every process BEFORE assembly).
+
+    The returned ItemizeResult keeps this process's LOCAL item tables and
+    the mh_table_local marker — AbacusByGroup.sparse_counts allgathers
+    the (item, group, multiplicity) triplets so `table` exports run
+    path-sliced too. (The round-4 claim that per-path bp corrections
+    cannot merge is withdrawn: the correction state is O(paths + boundary
+    nodes), not O(items).)"""
+    import jax
+
+    from ..abacus import (
+        AbacusByTotal,
+        build_membership_host,
+        path_order_groups,
+        quantify_uncovered_bps,
+    )
+    from ..itemize import itemize_paths
+    from ..ops.engine import CountingEngine
+    from ..utils import CountType
+
+    n_paths = len(graph.path_segments)
+    if n_paths == 0:
+        return None
+
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    path_order, groups = path_order_groups(mask, graph.path_segments)
+    n_groups = len(groups)
+    n_words = max((n_groups + 31) // 32, 1)
+
+    spans = np.asarray(graph._pw_seq_spans, dtype=np.int64)
+    span_len = (
+        spans[:, 1] - spans[:, 0]
+        if len(spans)
+        else np.zeros(0, dtype=np.int64)
+    )
+    total_payload = int(span_len.sum())
+    group_payload = np.zeros(max(n_groups, 1), dtype=np.int64)
+    for p, g in path_order:
+        group_payload[g] += int(span_len[p])
+    cuts = group_cuts(group_payload[:n_groups], n_proc)
+    wpp2 = max(
+        (len(words_of_range(cuts[p], cuts[p + 1])) for p in range(n_proc)),
+        default=1,
+    ) or 1
+    slots = word_slots(cuts, n_words, wpp2)
+    g_lo, g_hi = cuts[pid], cuts[pid + 1]
+    my_words = words_of_range(g_lo, g_hi)
+
+    grouped = np.zeros(n_paths, dtype=bool)
+    local = np.zeros(n_paths, dtype=bool)
+    for p, g in path_order:
+        grouped[p] = True
+        if g_lo <= g < g_hi:
+            local[p] = True
+    if pid == 0:  # ungrouped paths: paths_len parity with single host
+        local |= ~grouped
+    my_payload = int(span_len[local].sum()) if len(span_len) else 0
+    log.info(
+        "multi-host masked build: process %d/%d owns groups [%d, %d) "
+        "(%d paths, %.1f%% of path payload)",
+        pid,
+        n_proc,
+        g_lo,
+        g_hi,
+        int(local.sum()),
+        100.0 * my_payload / max(total_payload, 1),
+    )
+
+    itemized = itemize_paths(
+        graph, mask, count_types, path_filter=local, track_cov_order=True
+    )
+    local_order = [(p, g) for p, g in path_order if g_lo <= g < g_hi]
+
+    merge_exclude_tables(itemized.exclude_tables, graph)
+    if itemized.subset_covered_bps is not None:
+        merge_covered_container(itemized.subset_covered_bps)
+
+    abaci = {}
+    for slot, ct in enumerate(count_types):
+        # one engine per count type with ITS OWN exclude set, matching the
+        # single-host masked path (AbacusByTotal.from_itemization) — the
+        # node- and bp-slot exclude tables can differ (partial exclusion
+        # only annotates the bp table)
+        engine = CountingEngine(graph.number_of_items(ct), n_groups)
+        M_full = build_membership_host(
+            itemized.item_tables[slot],
+            local_order,
+            itemized.exclude_tables[slot],  # merged above
+            engine.n_items,
+            n_groups,
+            engine.n_items_pad,
+        )
+        Rc = np.zeros((wpp2, engine.n_items_pad), dtype=np.uint32)
+        if len(my_words):
+            Rc[: len(my_words)] = M_full[my_words.start : my_words.stop]
+        engine.M = assemble_global_matrix(
+            Rc, slots, n_words, engine.n_items_pad
+        )
+        unc = quantify_uncovered_bps(
+            itemized.exclude_tables[slot],
+            itemized.subset_covered_bps if ct == CountType.BP else None,
+            graph,
+        )
+        abaci[ct] = AbacusByTotal(ct, engine, groups, unc, graph)
+        log.info(
+            "abacus has %d path groups and %d countables",
+            n_groups,
+            engine.n_items,
+        )
+
+    itemized.paths_len = _merge_paths_len(graph, itemized.paths_len)
+    itemized.mh_stats = {
+        "tokenized_payload_bytes": my_payload,
+        "total_payload_bytes": total_payload,
+        "n_processes": n_proc,
+    }
+    itemized.mh_table_local = True  # sparse_counts allgathers triplets
+    return abaci, itemized, path_order, groups
+
+
 def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     """Multi-host form of stream.streamed_total_abaci: this process
     tokenizes only its word block's paths; M assembles globally.
@@ -269,16 +560,17 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     from ..utils import CountType
     from jax.experimental import multihost_utils
 
-    if need_itemized:
-        return None
-    if mask.include_coords is not None:
-        return None
+    if need_itemized or mask.include_coords is not None:
+        # group-table export or subset mask: run the exact interval
+        # walker path-sliced and merge the mask products
+        return multihost_masked_abaci(graph, mask, count_types)
     exc_pids = None
     if mask.exclude_coords is not None:
         big = (1 << 63) - 1
         exc_map = mask.build_subpath_map(mask.exclude_coords)
         if any(v != [(0, big)] for v in exc_map.values()):
-            return None  # coordinate excludes need the interval walk
+            # coordinate excludes need the interval walk — path-sliced too
+            return multihost_masked_abaci(graph, mask, count_types)
         exc_pids = frozenset(
             i
             for i, seg in enumerate(graph.path_segments)
@@ -465,13 +757,13 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
         )
 
     # paths_len merge: every process contributes its slabs' rows
-    gathered = multihost_utils.process_allgather(
-        np.stack([node_len, bp_len, have_len])
-    )
-    gathered = np.asarray(gathered).reshape(-1, 3, n_paths)
-    node_len = gathered[:, 0].sum(axis=0)
-    bp_len = gathered[:, 1].sum(axis=0)
-    have_len = gathered[:, 2].sum(axis=0)
+    # (int64-safe via allgather_rows — process_allgather would silently
+    # truncate bp totals past 2^31 to int32)
+    parts = allgather_rows(np.stack([node_len, bp_len, have_len], axis=1))
+    tot = np.zeros((n_paths, 3), dtype=np.int64)
+    for part in parts:
+        tot += part
+    node_len, bp_len, have_len = tot[:, 0], tot[:, 1], tot[:, 2]
     paths_len = {
         graph.path_segments[p]: (int(node_len[p]), int(bp_len[p]))
         for p in range(n_paths)

@@ -98,6 +98,48 @@ def main():
             sim_trace=float(inter.trace()),
             sim_sum=float(inter.sum()),
         )
+    elif mode in ("subset", "coordexclude"):
+        # masked path-sliced build: the exact interval walker runs per
+        # group range; exclude bitmaps / covered-bp intervals / paths_len
+        # merge across processes (parallel.ingest.multihost_masked_abaci)
+        reqs = {Req.graph(gfa), Req.NODE, Req.BP, Req.HIST, Req.PATH_LENS}
+        state = GraphState(graph=gfa, name="mh", grouping=Grouping.sample())
+        if mode == "subset":
+            state.subset = sys.argv[4]
+        else:
+            state.exclude = sys.argv[4]
+        gb.change_graph_state(state, reqs, nice=False)
+        hists = gb.get_hists()
+        eng = gb.get_abacus_by_total(CountType.NODE).engine
+        mesh = item_mesh_of(eng.M)
+        res.update(
+            m_sharded=mesh is not None
+            and mesh.devices.size == len(jax.devices()),
+            path_sliced=getattr(gb._itemized, "mh_table_local", False),
+            mh_stats=getattr(gb._itemized, "mh_stats", None),
+            node_hist=[int(x) for x in hists[CountType.NODE].coverage],
+            bp_hist=[int(x) for x in hists[CountType.BP].coverage],
+            paths_len_total=sorted(
+                (str(k), v[0], v[1]) for k, v in gb.get_path_lens().items()
+            ),
+        )
+    elif mode == "table":
+        reqs = {
+            Req.graph(gfa),
+            Req.NODE,
+            Req.abacus_by_group(CountType.NODE),
+            Req.group_table(CountType.NODE),
+        }
+        gb.change_graph_state(
+            GraphState(graph=gfa, name="mh", grouping=Grouping.sample()),
+            reqs,
+            nice=False,
+        )
+        ab = gb.get_abacus_by_group()
+        res.update(
+            path_sliced=getattr(gb._itemized, "mh_table_local", False),
+            table=ab.to_tsv(False, gb.graph_aux),
+        )
     else:
         raise SystemExit(f"unknown mode {mode}")
     with open(out_path, "w") as f:

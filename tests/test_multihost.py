@@ -364,3 +364,131 @@ def test_two_process_cli_hist_matches_single(tmp_path):
 
     assert tsv_lines(out0) == tsv_lines(single.stdout)
     assert tsv_lines(out1) == []
+
+
+def _single_process_result(gfa, subset="", exclude="", table=False):
+    """Single-process broker run in this test process (the oracle the
+    2-process masked builds must match)."""
+    from panacus_tpu.broker import GraphBroker, GraphState, Req
+    from panacus_tpu.config import Grouping
+    from panacus_tpu.utils import CountType
+
+    gb = GraphBroker()
+    reqs = {Req.graph(gfa), Req.NODE, Req.BP, Req.HIST, Req.PATH_LENS}
+    if table:
+        reqs |= {
+            Req.abacus_by_group(CountType.NODE),
+            Req.group_table(CountType.NODE),
+        }
+    state = GraphState(
+        graph=gfa, name="mh", subset=subset, exclude=exclude,
+        grouping=Grouping.sample(),
+    )
+    gb.change_graph_state(state, reqs, nice=False)
+    hists = gb.get_hists()
+    res = {
+        "node_hist": [int(x) for x in hists[CountType.NODE].coverage],
+        "bp_hist": [int(x) for x in hists[CountType.BP].coverage],
+        "paths_len_total": sorted(
+            [str(k), v[0], v[1]] for k, v in gb.get_path_lens().items()
+        ),
+    }
+    if table:
+        res["table"] = gb.get_abacus_by_group().to_tsv(False, gb.graph_aux)
+    return res
+
+
+def test_two_process_subset_bed_path_sliced(tmp_path):
+    """An inclusion BED with COORDINATES (partial node coverage -> bp
+    corrections) runs path-sliced: each process interval-walks its group
+    range, covered-bp intervals and exclude bitmaps merge, and the result
+    equals the single-process run bit for bit (round-5 item 4)."""
+    gfa = str(tmp_path / "mh_sub.gfa")
+    _write_fixture(gfa)
+    bed = tmp_path / "sub.bed"
+    rows = []
+    for p in range(N_SAMPLES):
+        if p % 3 == 0:
+            rows.append(f"s{p}#0#chr1\t5\t301\n")  # partial interval
+        elif p % 3 == 1:
+            rows.append(f"s{p}#0#chr1\n")  # whole path
+        # p % 3 == 2: not in the subset at all
+    bed.write_text("".join(rows))
+
+    want = _single_process_result(gfa, subset=str(bed))
+
+    port = _free_port()
+    out0, out1 = str(tmp_path / "sb0.json"), str(tmp_path / "sb1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0, "subset", str(bed)],
+        [sys.executable, worker, gfa, out1, "subset", str(bed)],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["path_sliced"], "subset run should take the masked path-sliced build"
+    assert r0["m_sharded"]
+    # payload split: both processes walk a real share, covering it once
+    s0, s1 = r0["mh_stats"], r1["mh_stats"]
+    f0 = s0["tokenized_payload_bytes"] / s0["total_payload_bytes"]
+    f1 = s1["tokenized_payload_bytes"] / s1["total_payload_bytes"]
+    assert abs((f0 + f1) - 1.0) < 1e-9 and 0.3 < f0 < 0.7, (f0, f1)
+    assert r0["node_hist"] == r1["node_hist"] == want["node_hist"]
+    assert r0["bp_hist"] == r1["bp_hist"] == want["bp_hist"]
+    assert r0["paths_len_total"] == want["paths_len_total"]
+
+
+def test_two_process_coordinate_exclude_path_sliced(tmp_path):
+    """Coordinate (not whole-path) exclude BED rows run path-sliced with
+    the merged exclude annotations matching the single-process walk."""
+    gfa = str(tmp_path / "mh_cex.gfa")
+    _write_fixture(gfa)
+    bed = tmp_path / "cex.bed"
+    bed.write_text(
+        "".join(
+            f"s{p}#0#chr1\t0\t{120 + 17 * p}\n" for p in range(0, N_SAMPLES, 4)
+        )
+    )
+    want = _single_process_result(gfa, exclude=str(bed))
+
+    port = _free_port()
+    out0, out1 = str(tmp_path / "cx0.json"), str(tmp_path / "cx1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0, "coordexclude", str(bed)],
+        [sys.executable, worker, gfa, out1, "coordexclude", str(bed)],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["path_sliced"]
+    assert r0["node_hist"] == r1["node_hist"] == want["node_hist"]
+    assert r0["bp_hist"] == r1["bp_hist"] == want["bp_hist"]
+    assert r0["paths_len_total"] == want["paths_len_total"]
+
+
+def test_two_process_table_export_path_sliced(tmp_path):
+    """AbacusByGroup table export (per-item multiplicities) no longer
+    forces the redundant fallback: sparse triplets allgather across the
+    disjoint group ranges and the TSV equals the single-process export
+    byte for byte (round-5 item 6)."""
+    gfa = str(tmp_path / "mh_tab.gfa")
+    _write_fixture(gfa)
+    want = _single_process_result(gfa, table=True)
+
+    port = _free_port()
+    out0, out1 = str(tmp_path / "tb0.json"), str(tmp_path / "tb1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0, "table"],
+        [sys.executable, worker, gfa, out1, "table"],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["path_sliced"], "table export should stay path-sliced"
+    strip = lambda t: "\n".join(
+        l for l in t.splitlines() if not l.startswith("#")
+    )
+    assert strip(r0["table"]) == strip(r1["table"]) == strip(want["table"])
