@@ -539,9 +539,46 @@ def run_inner_tpu() -> None:
         "stages": stages,
         "forced_device": True,
     }
+    # the tunnel RTT dominates the tpu-resident gap vs the host attempt;
+    # record the live link profile so the orchestrator can publish a
+    # dispatch-count accounting (excess seconds / RTT) per stage
+    try:
+        from panacus_tpu.runtime import device_link_profile
+
+        bw_link, rtt = device_link_profile()
+        out["link_mbps"] = round(bw_link / 1e6, 1)
+        out["rtt_s"] = round(rtt, 4)
+    except Exception as e:
+        sys.stderr.write(f"[bench] link profile failed: {e}\n")
     # flush before the group-abacus tail (it compiles more programs over
     # the tunnel and could stall; the orchestrator salvages partial lines)
     print(json.dumps(out), flush=True)
+
+    # full stage table (the host attempt records these; the tpu-resident
+    # artifact must be comparable stage by stage, not just on "all")
+    for sname, count, src in (
+        ("node", "node", CACHE),
+        ("edge", "edge", CACHE),
+        ("gz_node", "node", CACHE + ".gz"),
+    ):
+        try:
+            if not os.path.exists(src):
+                continue
+            stages[sname] = round(
+                _timed_stage(
+                    f"histgrowth {sname} (tpu-resident)",
+                    lambda c=count, s=src: run_histgrowth(s, c),
+                    size_mb,
+                    BASELINE_NODE_MBPS
+                    if count == "node"
+                    else BASELINE_EDGE_MBPS,
+                    reps=2,
+                ),
+                1,
+            )
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            sys.stderr.write(f"[bench] tpu stage {sname} failed: {e}\n")
 
     try:
         from panacus_tpu.broker import GraphBroker, GraphState, Req
@@ -593,9 +630,138 @@ def run_inner_tpu() -> None:
             f"[bench] tpu-resident group abacus: ordered {t_ordered:.2f}s, "
             f"similarity {t_sim:.2f}s (placement {group_placement})\n"
         )
+
+        # ASSERT the device outputs against an independent host oracle
+        # (pure numpy from the tokenized runs, no jax): a wrong answer
+        # from the device ordered-growth / similarity programs must fail
+        # the attempt, not produce a green artifact
+        g = gb.graph_aux
+        po = gb._path_order
+        n_groups_g = len(ab.groups)
+        n_items = g.number_of_items(CountType.NODE)
+        mem = np.zeros((n_groups_g, n_items + 1), dtype=bool)
+        batch = g.all_path_item_runs()
+        if batch is not None:
+            b_ids, _bo, b_pref, _bb = batch
+            for pid_, gi_ in po:
+                mem[gi_, b_ids[b_pref[pid_] : b_pref[pid_ + 1]]] = True
+        else:
+            for pid_, gi_ in po:
+                run_ids, _ = g.path_item_run(pid_)
+                mem[gi_, run_ids] = True
+        mem[:, 0] = False
+        seen = np.zeros(n_items + 1, dtype=bool)
+        og_exp = np.empty(n_groups_g, dtype=np.float64)
+        for gi_ in range(n_groups_g):
+            seen |= mem[gi_]
+            og_exp[gi_] = float(seen.sum())
+        ver_ordered = bool(
+            np.array_equal(np.asarray(og, dtype=np.float64), og_exp)
+        )
+        inter_np = np.asarray(inter)
+        diag = mem.sum(axis=1)
+        ver_sim = bool(
+            np.array_equal(
+                np.diagonal(inter_np).astype(np.int64), diag.astype(np.int64)
+            )
+        )
+        for a_, b_ in (
+            (0, 1),
+            (0, n_groups_g // 2),
+            (n_groups_g - 2, n_groups_g - 1),
+        ):
+            want = int((mem[a_] & mem[b_]).sum())
+            ver_sim = ver_sim and int(inter_np[a_, b_]) == want
+        out["group_stages"]["verified"] = bool(ver_ordered and ver_sim)
+        if not (ver_ordered and ver_sim):
+            out["verify_failed"] = True
+            sys.stderr.write(
+                "[bench] TPU-RESIDENT VERIFY FAILED: "
+                f"ordered_ok={ver_ordered} sim_ok={ver_sim} "
+                f"(device og[-1]={float(og[-1])}, host={og_exp[-1]})\n"
+            )
+        else:
+            sys.stderr.write(
+                "[bench] tpu-resident group outputs verified against the "
+                "host oracle (ordered vector + similarity diag/entries)\n"
+            )
     except Exception as e:
         sys.stderr.write(f"[bench] tpu-resident group stage failed: {e}\n")
     print(json.dumps(out))
+
+
+def run_inner_cross() -> None:
+    """Validate the count_device crossover model (ops/engine.py:
+    t_accel = bytes/link_bw + 4*rtt vs t_host = 2*bytes/1e9) against
+    MEASUREMENT at several matrix sizes — the placement policy's two
+    sides, timed for real: upload + popcount-coverage + reduce fetch on
+    the accelerator vs the same program on the host XLA backend. Emits
+    one JSON line {"crossover": [...]} with model and measured seconds
+    and whether the model picks the faster side."""
+    import jax
+    import jax.numpy as jnp
+
+    from panacus_tpu.ops.engine import coverage_from_membership
+    from panacus_tpu.runtime import device_link_profile
+
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon"):
+        print(json.dumps({"crossover": []}))
+        return
+    cpu = jax.devices("cpu")[0]
+    bw, rtt = device_link_profile()
+
+    @jax.jit
+    def count(M):
+        return coverage_from_membership(M).astype(jnp.int64).sum()
+
+    def measure(M_host, device):
+        def once():
+            Md = jax.device_put(M_host, device)
+            return int(count(Md))
+
+        once()  # compile + page heat
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            once()
+            t = time.time() - t0
+            best = t if best is None or t < best else best
+        return best
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for mb in (4, 16, 56):
+        n_items = mb * (1 << 20) // (3 * 4)
+        M_host = rng.integers(
+            0, 2**32, size=(3, n_items), dtype=np.uint32
+        )
+        m_bytes = M_host.nbytes
+        t_dev = measure(M_host, dev)
+        t_host = measure(M_host, cpu)
+        model_dev = m_bytes / bw + 4 * rtt
+        model_host = 2.0 * m_bytes / 1.0e9
+        rows.append(
+            {
+                "size_mb": round(m_bytes / 1e6, 1),
+                "model_device_s": round(model_dev, 3),
+                "meas_device_s": round(t_dev, 3),
+                "model_host_s": round(model_host, 3),
+                "meas_host_s": round(t_host, 3),
+                "model_picks_host": bool(model_dev > model_host),
+                "host_actually_faster": bool(t_dev > t_host),
+            }
+        )
+        sys.stderr.write(f"[bench] crossover {rows[-1]}\n")
+    print(
+        json.dumps(
+            {
+                "crossover": rows,
+                "link_mbps": round(bw / 1e6, 1),
+                "rtt_s": round(rtt, 4),
+            }
+        )
+    )
 
 
 def run_probe() -> None:
@@ -642,6 +808,9 @@ def main() -> None:
 
     if "--inner-tpu" in sys.argv:
         run_inner_tpu()
+        return
+    if "--inner-cross" in sys.argv:
+        run_inner_cross()
         return
     if "--inner" in sys.argv:
         run_inner()
@@ -797,6 +966,10 @@ def main() -> None:
                         "placement",
                         "stages",
                         "group_stages",
+                        "link_mbps",
+                        "rtt_s",
+                        "verify_failed",
+                        "crossover",
                     )
                     if k in parsed
                 }
@@ -855,6 +1028,58 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             tpu_tests = {"rc": -1, "summary": "timed out"}
         sys.stderr.write(f"[bench] pytest -m tpu: {tpu_tests}\n")
+
+    # crossover-model validation (count_device placement policy): its own
+    # bounded run so a stall can't eat the attempt budgets
+    if probe_ok and tpu_resident is not None:
+        try:
+            r = bounded("--inner-cross", default_env, min(budget, 300))
+            sys.stderr.write(r.stderr)
+            for ln in r.stdout.splitlines():
+                if ln.startswith("{"):
+                    try:
+                        d = json.loads(ln)
+                    except ValueError:
+                        continue
+                    if "crossover" in d:
+                        tpu_resident["crossover"] = d["crossover"]
+                        tpu_resident.setdefault("rtt_s", d.get("rtt_s"))
+                        tpu_resident.setdefault(
+                            "link_mbps", d.get("link_mbps")
+                        )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("[bench] crossover validation timed out\n")
+
+    # RTT accounting: the tpu-resident attempt pays the tunnel's round
+    # trip on every dispatch; express each stage's gap vs the host attempt
+    # as implied dispatch count (excess seconds / RTT) so the artifact
+    # shows whether the gap is fully explained by dispatch latency
+    if tpu_resident is not None and tpu_resident.get("rtt_s"):
+        host = attempt_summaries.get("cpu host") or attempt_summaries.get(
+            "default backend"
+        )
+        size_mb = os.path.getsize(CACHE) / 1e6
+        if host:
+            rtt = tpu_resident["rtt_s"]
+            acct = {}
+            for sname, tpu_mbps in tpu_resident.get("stages", {}).items():
+                host_mbps = host.get("stages", {}).get(sname)
+                if not host_mbps or not tpu_mbps:
+                    continue
+                excess = size_mb / tpu_mbps - size_mb / host_mbps
+                acct[sname] = {
+                    "excess_s": round(excess, 2),
+                    "implied_dispatches": round(excess / rtt, 1),
+                }
+            tpu_resident["rtt_accounting"] = {
+                "rtt_s": rtt,
+                "vs_backend": "cpu host" if "cpu host" in attempt_summaries
+                else "default backend",
+                "stages": acct,
+            }
+            sys.stderr.write(
+                f"[bench] tpu-resident rtt accounting: {acct}\n"
+            )
 
     if results:
         best_name, best = max(results, key=lambda kv: kv[1]["value"])
