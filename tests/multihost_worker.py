@@ -106,6 +106,8 @@ def main():
         state = GraphState(graph=gfa, name="mh", grouping=Grouping.sample())
         if mode == "subset":
             state.subset = sys.argv[4]
+            if len(sys.argv) > 5:  # combined subset + exclude
+                state.exclude = sys.argv[5]
         else:
             state.exclude = sys.argv[4]
         gb.change_graph_state(state, reqs, nice=False)

@@ -492,3 +492,45 @@ def test_two_process_table_export_path_sliced(tmp_path):
         l for l in t.splitlines() if not l.startswith("#")
     )
     assert strip(r0["table"]) == strip(r1["table"]) == strip(want["table"])
+
+
+def test_two_process_subset_plus_exclude_randomized(tmp_path):
+    """Randomized COMBINED subset + coordinate-exclude masks: partial
+    coverage, partial exclusion, and their interaction (uncovered-bp
+    arithmetic against excluded intervals, reference util.rs quirks
+    included) must merge across processes to the single-process result."""
+    rng = np.random.default_rng(99)
+    gfa = str(tmp_path / "mh_combo.gfa")
+    _write_fixture(gfa)
+    sub = tmp_path / "combo_sub.bed"
+    exc = tmp_path / "combo_exc.bed"
+    sub_rows, exc_rows = [], []
+    for p in range(N_SAMPLES):
+        r = rng.integers(0, 4)
+        if r == 0:
+            a = int(rng.integers(0, 200))
+            sub_rows.append(f"s{p}#0#chr1\t{a}\t{a + int(rng.integers(3, 400))}\n")
+        elif r == 1:
+            sub_rows.append(f"s{p}#0#chr1\n")
+        if rng.integers(0, 3) == 0:
+            a = int(rng.integers(0, 150))
+            exc_rows.append(f"s{p}#0#chr1\t{a}\t{a + int(rng.integers(2, 120))}\n")
+    sub.write_text("".join(sub_rows))
+    exc.write_text("".join(exc_rows))
+
+    want = _single_process_result(gfa, subset=str(sub), exclude=str(exc))
+
+    port = _free_port()
+    out0, out1 = str(tmp_path / "cb0.json"), str(tmp_path / "cb1.json")
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_pair(
+        [sys.executable, worker, gfa, out0, "subset", str(sub), str(exc)],
+        [sys.executable, worker, gfa, out1, "subset", str(sub), str(exc)],
+        port,
+    )
+    r0 = json.load(open(out0))
+    r1 = json.load(open(out1))
+    assert r0["path_sliced"]
+    assert r0["node_hist"] == r1["node_hist"] == want["node_hist"]
+    assert r0["bp_hist"] == r1["bp_hist"] == want["bp_hist"]
+    assert r0["paths_len_total"] == want["paths_len_total"]
