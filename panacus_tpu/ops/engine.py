@@ -43,15 +43,16 @@ ORDERED_BLOCK = 1 << 14  # items per block in the scan kernels
 
 
 def ordered_block_for(n_groups: int) -> int:
-    """Item-block width for the ordered-growth scan, shrunk as the group
-    count grows: the body materializes several [n_groups, B] int32
-    temporaries (unpack, cumsum, cummax), and past ~1k groups a fixed
-    B=2^14 block spills them to HBM — measured (slope-timed, v5e, 1M
-    items): 734 ms/pass at 4096 groups vs 46.6 ms with G*B capped
-    (15.8x); 77.3 -> 25.7 ms at 1024. Cap G*B at 2^21 elements
-    (~8 MB/temp), floor at 512 lanes, and keep B a power of two so it
-    divides ITEM_ALIGN-padded item counts."""
-    b = ORDERED_BLOCK
+    """Item-block width for the ordered-growth scan. The body
+    materializes several [n_groups, B] int32 temporaries (unpack, cumsum,
+    cummax); v5e slope-timed sweeps (1M items) show narrow blocks win at
+    EVERY group count — B=1024 measured 12-15 ms/pass at 90 groups vs
+    37.5 at the old B=2^14 (2.5-3x), 9.7 vs 11.1 ms at 512 groups,
+    22.5 vs 25.7 at 1024 — and past ~2k groups G*B must shrink further
+    or the temporaries spill (734 ms/pass at 4096 groups with B=2^14 vs
+    46.6 at B=512, 15.8x). Policy: B=1024 capped so G*B <= 2^21, floor
+    512; powers of two so B divides ITEM_ALIGN-padded item counts."""
+    b = 1024
     while b > 512 and n_groups * b > (1 << 21):
         b >>= 1
     return b
