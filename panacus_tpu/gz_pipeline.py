@@ -431,9 +431,11 @@ def read_gz_overlapped(gfa_file: str):
     or when the overlap is disabled via PANACUS_TPU_NO_GZ_OVERLAP=1."""
     from . import gfa as _gfa
     from .native import _get_libdeflate, get_lib, gzip_decompress_buffer
+    from .runtime import effective_threads
 
     if (
         os.environ.get("PANACUS_TPU_NO_GZ_OVERLAP") == "1"
+        or effective_threads() < 2  # -t 1: a follower would oversubscribe
         or get_lib() is None
         or _get_libdeflate() is None
     ):

@@ -534,3 +534,33 @@ def test_two_process_subset_plus_exclude_randomized(tmp_path):
     assert r0["node_hist"] == r1["node_hist"] == want["node_hist"]
     assert r0["bp_hist"] == r1["bp_hist"] == want["bp_hist"]
     assert r0["paths_len_total"] == want["paths_len_total"]
+
+
+def test_three_process_subset_path_sliced(tmp_path):
+    """THREE processes + a subset BED: masked partial word rows land in
+    shared words (max_k > 1 assembly) and the merged mask state still
+    matches the single-process run."""
+    gfa = str(tmp_path / "mh3_sub.gfa")
+    _write_fixture(gfa)
+    bed = tmp_path / "sub3.bed"
+    bed.write_text(
+        "".join(
+            f"s{p}#0#chr1\t3\t{150 + 11 * p}\n" if p % 2 else f"s{p}#0#chr1\n"
+            for p in range(0, N_SAMPLES, 2)
+        )
+    )
+    want = _single_process_result(gfa, subset=str(bed))
+    port = _free_port()
+    outs = [str(tmp_path / f"s3_{p}.json") for p in range(3)]
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _launch_n(
+        [[sys.executable, worker, gfa, op, "subset", str(bed)] for op in outs],
+        port,
+        timeout=300,
+    )
+    rs = [json.load(open(op)) for op in outs]
+    for r in rs:
+        assert r["path_sliced"]
+        assert r["node_hist"] == want["node_hist"]
+        assert r["bp_hist"] == want["bp_hist"]
+        assert r["paths_len_total"] == want["paths_len_total"]
