@@ -395,6 +395,23 @@ def _timed_stage(name, fn, size_mb, baseline, reps=6):
     return mbps
 
 
+
+def _host_memory_health() -> float:
+    """Fresh-anon-page touch throughput (MB/s): this firecracker VM's
+    balloon intermittently degrades page-fault service from microseconds
+    to ~0.15 ms/4K page (>100x), which tanks every allocation-heavy stage
+    regardless of code. Recording it makes a bad-window artifact
+    interpretable: ~2000+ MB/s is a healthy window, <500 is degraded."""
+    n = 64 << 20
+    t0 = time.time()
+    b = bytearray(n)
+    mv = memoryview(b)
+    for i in range(0, n, 4096):
+        mv[i] = 1
+    dt = time.time() - t0
+    del mv, b
+    return round(n / 1e6 / max(dt, 1e-9), 0)
+
 def run_inner() -> None:
     """Generate + warm up + measure + print the JSON line. Run inside a
     bounded subprocess by main(), because TPU-tunnel backends can stall
@@ -402,6 +419,8 @@ def run_inner() -> None:
     if not os.path.exists(CACHE):
         make_graph(CACHE)
     size_mb = os.path.getsize(CACHE) / 1e6
+    mem_health = _host_memory_health()
+    sys.stderr.write(f"[bench] host fresh-page touch: {mem_health:.0f} MB/s\n")
 
     stages = {}
     # headline: -c all (node+bp+edge hists + 3 growth curves each)
@@ -474,6 +493,7 @@ def run_inner() -> None:
         # placement policy kept counting on the host (slow tunnel link)
         "placement": placement,
         "stages": stages,
+        "host_mem_mbps": mem_health,
     }
     # flush the end-to-end result BEFORE the roofline: the roofline talks
     # to the accelerator directly and can stall on a dead tunnel; the
@@ -519,6 +539,8 @@ def run_inner_tpu() -> None:
     if not os.path.exists(CACHE):
         make_graph(CACHE)
     size_mb = os.path.getsize(CACHE) / 1e6
+    mem_health = _host_memory_health()
+    sys.stderr.write(f"[bench] host fresh-page touch: {mem_health:.0f} MB/s\n")
 
     stages = {}
     mbps_all = _timed_stage(
@@ -538,6 +560,7 @@ def run_inner_tpu() -> None:
         "placement": placement,
         "stages": stages,
         "forced_device": True,
+        "host_mem_mbps": mem_health,
     }
     # the tunnel RTT dominates the tpu-resident gap vs the host attempt;
     # record the live link profile so the orchestrator can publish a
@@ -954,6 +977,11 @@ def main() -> None:
                 "value": parsed["value"],
                 "placement": parsed.get("placement", "unknown"),
                 "stages": parsed.get("stages", {}),
+                **(
+                    {"host_mem_mbps": parsed["host_mem_mbps"]}
+                    if "host_mem_mbps" in parsed
+                    else {}
+                ),
             }
             if name == "tpu resident":
                 # validation artifact (M in HBM end-to-end), not a headline
