@@ -192,14 +192,20 @@ class _Follower:
     # -- per-chunk work -------------------------------------------------------
 
     def _consume_lines(self, buf: np.ndarray, nl: np.ndarray) -> None:
-        starts = np.empty(len(nl), dtype=np.int64)
-        starts[0] = self._carry
-        starts[1:] = nl[:-1] + 1
+        from .native import classify_lines
+
+        cls = classify_lines(buf, nl, prev_end=self._carry)
+        if cls is not None:
+            starts, ends, first = cls
+        else:
+            starts = np.empty(len(nl), dtype=np.int64)
+            starts[0] = self._carry
+            starts[1:] = nl[:-1] + 1
+            ends = nl - (buf[np.maximum(nl - 1, 0)] == 13)
+            nonempty = ends > starts
+            starts, ends = starts[nonempty], ends[nonempty]
+            first = buf[starts]
         self._carry = int(nl[-1]) + 1
-        ends = nl - (buf[np.maximum(nl - 1, 0)] == 13)
-        nonempty = ends > starts
-        starts, ends = starts[nonempty], ends[nonempty]
-        first = buf[starts]
         self._starts.append(starts)
         self._ends.append(ends)
         self._first.append(first)

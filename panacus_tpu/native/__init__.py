@@ -122,6 +122,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.pt_scan_fill.argtypes = [
         u8p, i64, i64, i64p, i64p, i64p, i64p, ctypes.c_int32,
     ]
+    lib.pt_classify_lines.restype = i64
+    lib.pt_classify_lines.argtypes = [u8p, i64p, i64, i64, i64p, i64p, u8p]
     lib.pt_s_spans.restype = i64
     lib.pt_s_spans.argtypes = [
         u8p, i64p, i64p, i64, i64p, i64p, ctypes.c_int32,
@@ -885,6 +887,34 @@ def scan_lines(buf: np.ndarray, n_threads: int = 0, want_tabs: bool = True):
         ctypes.c_int32(n_threads),
     )
     return nl, None
+
+
+def classify_lines(
+    buf: np.ndarray, nl: np.ndarray, prev_end: int = 0
+):
+    """Non-empty line spans + first bytes from a newline index in one C
+    pass (CR-stripped; replaces four full-width numpy temporaries).
+    Returns (starts int64[k], ends int64[k], first uint8[k]) or None when
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = len(nl)
+    nl_c = np.ascontiguousarray(nl, dtype=np.int64)
+    starts = np.empty(n, dtype=np.int64)
+    ends = np.empty(n, dtype=np.int64)
+    first = np.empty(max(n, 1), dtype=np.uint8)
+    k = lib.pt_classify_lines(
+        _as_u8p(buf),
+        nl_c.ctypes.data_as(i64p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(prev_end),
+        starts.ctypes.data_as(i64p),
+        ends.ctypes.data_as(i64p),
+        _as_u8p(first),
+    )
+    return starts[:k], ends[:k], first[:k]
 
 
 def s_spans(
