@@ -32,15 +32,33 @@ def git_hash():
         import os
         import subprocess
 
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
         try:
-            out = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
+            # only trust the hash if the repo actually CONTAINS this
+            # package — a wheel installed into a venv inside some other
+            # project's checkout would otherwise report that project's
+            # hash as our provenance
+            top = subprocess.run(
+                ["git", "rev-parse", "--show-toplevel"],
+                cwd=pkg_dir,
                 capture_output=True,
                 timeout=5,
             )
-            if out.returncode == 0:
-                h = out.stdout.decode().strip() or None
+            ok = False
+            if top.returncode == 0:
+                toplevel = os.path.realpath(top.stdout.decode().strip())
+                ok = os.path.exists(
+                    os.path.join(toplevel, "panacus_tpu", "__init__.py")
+                )
+            if ok:
+                out = subprocess.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    cwd=pkg_dir,
+                    capture_output=True,
+                    timeout=5,
+                )
+                if out.returncode == 0:
+                    h = out.stdout.decode().strip() or None
         except Exception:
             h = None
     _git_hash_cache.append(h)

@@ -105,17 +105,12 @@ class PathSegment:
         return self.id()
 
 
-def _read_gz_streamed(gfa_file: str) -> bytearray:
-    """Decompress a (possibly multi-member) gzip file into ONE buffer.
-
-    Fast path: whole-buffer inflate via system libdeflate (~2.5-3x zlib
-    throughput; member-by-member for concatenated streams). Fallback:
-    stream through gzip.open with readinto into a growing buffer — no
-    chunk-list accumulation + join either way, so peak memory stays ~1x
-    the uncompressed size (the reference streams through MultiGzDecoder,
-    src/io.rs:23-33; our columnar indexer needs the whole buffer, so we
-    decompress *into* it). The initial capacity comes from the gzip ISIZE
-    footer (exact for single-member files, a floor otherwise)."""
+def _gz_capacity_hint(gfa_file: str) -> int:
+    """Output-buffer capacity for a gzip file from its ISIZE footer,
+    CLAMPED: a corrupt/truncated .gz can carry an arbitrary 32-bit ISIZE,
+    which would force a multi-GiB zero-filled allocation before the
+    stream is ever validated; the callers' growth loops handle
+    underestimates (multi-member files report only the last member)."""
     import os as _os
 
     csize = _os.path.getsize(gfa_file)
@@ -126,11 +121,22 @@ def _read_gz_streamed(gfa_file: str) -> bytearray:
             isize = int.from_bytes(raw.read(4), "little")
     except OSError:
         pass
-    # clamp the footer hint: a corrupt/truncated .gz can carry an arbitrary
-    # 32-bit ISIZE, which would force a multi-GiB zero-filled allocation
-    # before gzip.open ever validates the stream; the 1.5x growth loop
-    # handles underestimates
-    cap = max(min(isize, 64 * csize), 2 * csize, 1 << 20)
+    return max(min(isize, 64 * csize), 2 * csize, 1 << 20)
+
+
+def _read_gz_streamed(gfa_file: str) -> bytearray:
+    """Decompress a (possibly multi-member) gzip file into ONE buffer.
+
+    Fast path: whole-buffer inflate via system libdeflate (~2.5-3x zlib
+    throughput; member-by-member for concatenated streams). Fallback:
+    stream through gzip.open with readinto into a growing buffer — no
+    chunk-list accumulation + join either way, so peak memory stays ~1x
+    the uncompressed size (the reference streams through MultiGzDecoder,
+    src/io.rs:23-33; our columnar indexer needs the whole buffer, so we
+    decompress *into* it). The initial capacity comes from the gzip ISIZE
+    footer via _gz_capacity_hint (exact for single-member files, a floor
+    otherwise)."""
+    cap = _gz_capacity_hint(gfa_file)
 
     from .native import gzip_decompress_buffer
 
@@ -764,21 +770,35 @@ class GraphStorage:
         ks = locs & 0xFFFFFFFF
         n = len(sel)
         lens = np.empty(n, dtype=np.int64)
-        for j in range(n):
-            pf = batches[b_nos[j]][2]
-            lens[j] = pf[ks[j] + 1] - pf[ks[j]]
+        bp = np.zeros(max(n, 1), dtype=np.uint64)
+        for b_no in np.unique(b_nos):
+            m = b_nos == b_no
+            _i, _o, pf, b_bp = batches[b_no]
+            lens[m] = pf[ks[m] + 1] - pf[ks[m]]
+            if b_bp is not None:
+                bp[np.flatnonzero(m)] = b_bp[ks[m]]
         prefsum = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=prefsum[1:])
         ids = np.empty(prefsum[-1], dtype=np.int64)
         orient = np.empty(prefsum[-1], dtype=np.uint8)
-        bp = np.zeros(max(n, 1), dtype=np.uint64)
-        for j in range(n):
-            b_ids, b_or, b_pf, b_bp = batches[b_nos[j]]
-            a, b = b_pf[ks[j]], b_pf[ks[j] + 1]
-            ids[prefsum[j] : prefsum[j + 1]] = b_ids[a:b]
-            orient[prefsum[j] : prefsum[j + 1]] = b_or[a:b]
-            if b_bp is not None:
-                bp[j] = b_bp[ks[j]]
+        # copy maximal contiguous runs (consecutive batch entries in both
+        # source and destination collapse to one memcpy — the common case:
+        # slabs select contiguous pw ranges in tokenize order), instead of
+        # one interpreted slice copy per path
+        j = 0
+        while j < n:
+            e = j + 1
+            while (
+                e < n
+                and b_nos[e] == b_nos[j]
+                and ks[e] == ks[e - 1] + 1
+            ):
+                e += 1
+            b_ids, b_or, b_pf, _bb = batches[b_nos[j]]
+            a, b = b_pf[ks[j]], b_pf[ks[e - 1] + 1]
+            ids[prefsum[j] : prefsum[e]] = b_ids[a:b]
+            orient[prefsum[j] : prefsum[e]] = b_or[a:b]
+            j = e
         if pack:
             from .native import build_membership, pack_edges_adj
             from .runtime import effective_threads

@@ -435,6 +435,8 @@ def read_gz_overlapped(gfa_file: str):
     (buffer, GzFollowResult | None). Falls back to the plain streamed read
     (follower disabled) when libdeflate or the native scanner is missing,
     or when the overlap is disabled via PANACUS_TPU_NO_GZ_OVERLAP=1."""
+    import platform
+
     from . import gfa as _gfa
     from .native import _get_libdeflate, get_lib, gzip_decompress_buffer
     from .runtime import effective_threads
@@ -442,6 +444,10 @@ def read_gz_overlapped(gfa_file: str):
     if (
         os.environ.get("PANACUS_TPU_NO_GZ_OVERLAP") == "1"
         or effective_threads() < 2  # -t 1: a follower would oversubscribe
+        # the sentinel-frontier safety argument is x86-TSO store ordering
+        # (see module docstring); on weakly-ordered CPUs the follower
+        # could parse stale bytes behind an already-visible stride point
+        or platform.machine() not in ("x86_64", "AMD64", "i686")
         or get_lib() is None
         or _get_libdeflate() is None
     ):

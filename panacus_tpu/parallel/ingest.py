@@ -367,11 +367,55 @@ def merge_exclude_tables(exclude_tables, graph) -> None:
                 t.items[sid] = True
 
 
-def _merge_paths_len(graph, paths_len) -> dict:
-    """Allgather-merge per-path (node_len, bp_len) dicts (each path is
-    walked by exactly one process)."""
-    from jax.experimental import multihost_utils
+def _partition_groups(graph, path_order, n_groups, n_words, n_proc):
+    """Payload-balanced contiguous group partition + per-word slot layout,
+    SHARED by the unmasked and masked multi-host builds — the two must
+    compute identical cuts/slots or cross-process word-row assembly
+    desynchronizes. Returns (span_len, total_payload, cuts, wpp2,
+    slots)."""
+    spans = np.asarray(graph._pw_seq_spans, dtype=np.int64)
+    span_len = (
+        spans[:, 1] - spans[:, 0]
+        if len(spans)
+        else np.zeros(0, dtype=np.int64)
+    )
+    total_payload = int(span_len.sum())
+    group_payload = np.zeros(max(n_groups, 1), dtype=np.int64)
+    if path_order:
+        po_pids = np.fromiter(
+            (p for p, _ in path_order), dtype=np.int64, count=len(path_order)
+        )
+        po_gidx = np.fromiter(
+            (g for _, g in path_order), dtype=np.int64, count=len(path_order)
+        )
+        np.add.at(group_payload, po_gidx, span_len[po_pids])
+    cuts = group_cuts(group_payload[:n_groups], n_proc)
+    wpp2 = max(
+        (len(words_of_range(cuts[p], cuts[p + 1])) for p in range(n_proc)),
+        default=1,
+    ) or 1
+    slots = word_slots(cuts, n_words, wpp2)
+    return span_len, total_payload, cuts, wpp2, slots
 
+
+def _allgather_sum_paths(graph, node_len, bp_len, have) -> dict:
+    """Sum per-path (node_len, bp_len, have) arrays across processes
+    (each path is walked by exactly one) and rebuild the paths_len dict —
+    int64-safe through allgather_rows."""
+    n_paths = len(graph.path_segments)
+    parts = allgather_rows(np.stack([node_len, bp_len, have], axis=1))
+    tot = np.zeros((n_paths, 3), dtype=np.int64)
+    for part in parts:
+        tot += part
+    return {
+        graph.path_segments[p]: (int(tot[p, 0]), int(tot[p, 1]))
+        for p in range(n_paths)
+        if tot[p, 2]
+    }
+
+
+def _merge_paths_len(graph, paths_len) -> dict:
+    """Allgather-merge per-path (node_len, bp_len) dicts."""
     n_paths = len(graph.path_segments)
     node_len = np.zeros(n_paths, dtype=np.int64)
     bp_len = np.zeros(n_paths, dtype=np.int64)
@@ -381,16 +425,7 @@ def _merge_paths_len(graph, paths_len) -> dict:
         if v is not None:
             node_len[p], bp_len[p] = v
             have[p] = 1
-    parts = allgather_rows(np.stack([node_len, bp_len, have], axis=1))
-    tot = np.zeros((n_paths, 3), dtype=np.int64)
-    for part in parts:
-        tot += part
-    node_len, bp_len, have = tot[:, 0], tot[:, 1], tot[:, 2]
-    return {
-        graph.path_segments[p]: (int(node_len[p]), int(bp_len[p]))
-        for p in range(n_paths)
-        if have[p]
-    }
+    return _allgather_sum_paths(graph, node_len, bp_len, have)
 
 
 def multihost_masked_abaci(graph, mask, count_types):
@@ -439,22 +474,9 @@ def multihost_masked_abaci(graph, mask, count_types):
     n_groups = len(groups)
     n_words = max((n_groups + 31) // 32, 1)
 
-    spans = np.asarray(graph._pw_seq_spans, dtype=np.int64)
-    span_len = (
-        spans[:, 1] - spans[:, 0]
-        if len(spans)
-        else np.zeros(0, dtype=np.int64)
+    span_len, total_payload, cuts, wpp2, slots = _partition_groups(
+        graph, path_order, n_groups, n_words, n_proc
     )
-    total_payload = int(span_len.sum())
-    group_payload = np.zeros(max(n_groups, 1), dtype=np.int64)
-    for p, g in path_order:
-        group_payload[g] += int(span_len[p])
-    cuts = group_cuts(group_payload[:n_groups], n_proc)
-    wpp2 = max(
-        (len(words_of_range(cuts[p], cuts[p + 1])) for p in range(n_proc)),
-        default=1,
-    ) or 1
-    slots = word_slots(cuts, n_words, wpp2)
     g_lo, g_hi = cuts[pid], cuts[pid + 1]
     my_words = words_of_range(g_lo, g_hi)
 
@@ -606,25 +628,9 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
     # payload-balanced contiguous GROUP partition: every host tokenizes
     # ~1/n_proc of the path payload bytes regardless of how the group
     # count maps to 32-group words (see module comment)
-    spans = np.asarray(graph._pw_seq_spans, dtype=np.int64)
-    span_len = (
-        spans[:, 1] - spans[:, 0]
-        if len(spans)
-        else np.zeros(0, dtype=np.int64)
+    span_len, total_payload, cuts, wpp2, slots = _partition_groups(
+        graph, path_order, n_groups, n_words, n_proc
     )
-    total_payload = int(span_len.sum())
-    group_payload = np.zeros(max(n_groups, 1), dtype=np.int64)
-    po_pids = np.fromiter((p for p, _ in path_order), dtype=np.int64,
-                          count=len(path_order))
-    po_gidx = np.fromiter((g for _, g in path_order), dtype=np.int64,
-                          count=len(path_order))
-    np.add.at(group_payload, po_gidx, span_len[po_pids])
-    cuts = group_cuts(group_payload[:n_groups], n_proc)
-    wpp2 = max(
-        (len(words_of_range(cuts[p], cuts[p + 1])) for p in range(n_proc)),
-        default=1,
-    ) or 1
-    slots = word_slots(cuts, n_words, wpp2)
     g_lo, g_hi = cuts[pid], cuts[pid + 1]
     my_words = words_of_range(g_lo, g_hi)
 
@@ -757,18 +763,7 @@ def multihost_total_abaci(graph, mask, count_types, need_itemized: bool):
         )
 
     # paths_len merge: every process contributes its slabs' rows
-    # (int64-safe via allgather_rows — process_allgather would silently
-    # truncate bp totals past 2^31 to int32)
-    parts = allgather_rows(np.stack([node_len, bp_len, have_len], axis=1))
-    tot = np.zeros((n_paths, 3), dtype=np.int64)
-    for part in parts:
-        tot += part
-    node_len, bp_len, have_len = tot[:, 0], tot[:, 1], tot[:, 2]
-    paths_len = {
-        graph.path_segments[p]: (int(node_len[p]), int(bp_len[p]))
-        for p in range(n_paths)
-        if have_len[p]
-    }
+    paths_len = _allgather_sum_paths(graph, node_len, bp_len, have_len)
 
     itemized = ItemizeResult(
         item_tables=[None] * len(count_types),
