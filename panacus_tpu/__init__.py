@@ -47,8 +47,13 @@ def git_hash():
             ok = False
             if top.returncode == 0:
                 toplevel = os.path.realpath(top.stdout.decode().strip())
-                ok = os.path.exists(
-                    os.path.join(toplevel, "panacus_tpu", "__init__.py")
+                # the repo's package must BE the imported package — "some
+                # panacus_tpu exists in that repo" would let a wheel
+                # installed in a venv nested inside a panacus-tpu checkout
+                # stamp the checkout's HEAD onto the wheel's outputs
+                ok = (
+                    os.path.realpath(os.path.join(toplevel, "panacus_tpu"))
+                    == os.path.realpath(pkg_dir)
                 )
             if ok:
                 out = subprocess.run(

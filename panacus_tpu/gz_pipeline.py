@@ -453,15 +453,7 @@ def read_gz_overlapped(gfa_file: str):
     ):
         return _gfa._read_gz_streamed(gfa_file), None
 
-    csize = os.path.getsize(gfa_file)
-    isize = 0
-    try:
-        with open(gfa_file, "rb") as raw_f:
-            raw_f.seek(-4, 2)
-            isize = int.from_bytes(raw_f.read(4), "little")
-    except OSError:
-        pass
-    cap = max(min(isize, 64 * csize), 2 * csize, 1 << 20)
+    cap = _gfa._gz_capacity_hint(gfa_file)
 
     try:
         raw_map = np.memmap(gfa_file, dtype=np.uint8, mode="r")
