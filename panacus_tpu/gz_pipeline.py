@@ -10,9 +10,11 @@ only need the *already written* prefix of the output buffer.
 This module runs those follow-up passes **concurrently with the inflate**
 on a second core, using a sentinel frontier:
 
-- the output buffer is prefilled with 0xFF (a byte that cannot appear in
-  ASCII GFA text; a legit 0xFF merely stalls the follower until inflate
-  completes — correctness never depends on the content),
+- 0xFF sentinels (a byte that cannot appear in ASCII GFA text) are
+  planted ONLY at the probe-stride positions the follower galloping
+  check reads — ~80 byte writes instead of a full-buffer memset; a
+  legit 0xFF at a stride point merely stalls the follower until inflate
+  completes — correctness never depends on the content,
 - libdeflate appends output strictly in order, so on x86-TSO observing a
   non-0xFF byte at position q proves positions < q - slop are final, where
   slop bounds libdeflate's wide-store overshoot (tens of bytes). The
